@@ -1,0 +1,72 @@
+"""Global configuration (reference parity: SURVEY §5.6 mechanism 2/3).
+
+faer has an atomic global parallelism setting (``lib.rs:1123-1140``) and cargo
+features. The TPU analogue: a module-level config controlling
+
+* whether Pallas kernels are used (default: only on TPU backends — the jnp
+  paths are mathematically identical and faster on CPU, and CI runs on a
+  virtual CPU mesh);
+* default blocking parameters;
+* a ``perf-warn`` analogue: warn once when an op falls off the fast path.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import threading
+
+import jax
+
+_log = logging.getLogger("faer_tpu")
+
+_state = threading.local()
+
+
+def _default_use_pallas() -> bool:
+    env = os.environ.get("FAER_TPU_USE_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "False", "")
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend probing should not fail
+        return False
+
+
+class _Config:
+    def __init__(self):
+        self.use_pallas: bool | None = None  # None = auto (TPU only)
+        self.perf_warn: bool = os.environ.get("FAER_TPU_PERF_WARN", "0") not in ("0", "")
+        # default panel width for blocked factorizations; multiples of the
+        # 128-wide MXU tile keep every GEMM on the fast path
+        self.default_block_size: int = 256
+        # below this dimension product, skip Pallas and use plain jnp.dot —
+        # mirrors faer's nano-gemm dispatch threshold (matmul/mod.rs:16)
+        self.small_matmul_threshold: int = 128 ** 3
+
+    def pallas_enabled(self) -> bool:
+        if self.use_pallas is None:
+            return _default_use_pallas()
+        return self.use_pallas
+
+
+config = _Config()
+
+_warned: set[str] = set()
+
+
+def perf_warn(key: str, msg: str) -> None:
+    """faer's ``__perf_warn!`` analogue (``lib.rs:256-280``): warn once per site."""
+    if config.perf_warn and key not in _warned:
+        _warned.add(key)
+        _log.warning("faer_tpu perf: %s", msg)
+
+
+def set_global_parallelism(par) -> None:
+    """API parity with faer ``set_global_parallelism`` (``lib.rs:1123``)."""
+    _state.par = par
+
+
+def get_global_parallelism():
+    from faer_tpu.core.flags import Par
+
+    return getattr(_state, "par", Par.AUTO)

@@ -1,0 +1,540 @@
+"""Cholesky family: LLT, LDLT, pivoted LLT, Bunch-Kaufman LBLT, rank updates.
+
+Reference parity (SURVEY §2.4):
+* LLT — ``faer/src/linalg/cholesky/llt/factor.rs:67`` (blocked, dynamic
+  regularization), solve (``llt/solve.rs:12``), rank-r update
+  (``llt/update.rs:360``);
+* LDLT — ``cholesky/ldlt/factor.rs:725`` (shared blocked driver ``:499``);
+* pivoted LLT — ``cholesky/llt_pivoting/factor.rs:199`` (rank-revealing PSD);
+* Bunch-Kaufman — ``cholesky/bunch_kaufman/factor.rs:1161`` (1×1/2×2 pivots).
+
+TPU-native design: trace-time panel loop (exact-size GEMM trailing updates on
+the MXU) around a ``fori_loop`` masked unblocked panel factor; pivoted variants
+run as masked full-matrix ``fori``/``while`` loops with on-chip argmax — the
+same structure as the LU panel (``faer_tpu.linalg.lu``). All routines work on
+the lower triangle (callers mirror via ``Side``).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from faer_tpu.core import dtypes, perm as permod
+from faer_tpu.core.errors import LbltInfo, LdltInfo, LltInfo
+from faer_tpu.core.params import (
+    LbltParams,
+    LdltParams,
+    LdltRegularization,
+    LltParams,
+    LltRegularization,
+)
+from faer_tpu.ops.matmul import matmul
+from faer_tpu.ops.triangular_solve import (
+    solve_lower_triangular,
+    solve_lower_triangular_adjoint,
+    solve_unit_lower_triangular,
+    solve_upper_triangular,
+)
+
+
+def _panel_llt(a, reg: LltRegularization):
+    """Unblocked LLT of a (b, b) lower block via masked fori_loop."""
+    b = a.shape[0]
+    rdt = dtypes.real_dtype_of(a.dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
+
+    def body(j, state):
+        a, count, ok = state
+        pj = jnp.real(a[j, j]).astype(rdt)
+        needs_reg = pj <= reg.delta
+        ok = ok & (pj > 0)
+        if reg.epsilon > 0:
+            pj = jnp.where(needs_reg, jnp.asarray(reg.epsilon, rdt), pj)
+            count = count + jnp.where(needs_reg, 1, 0)
+        else:
+            pj = jnp.where(pj <= 0, jnp.ones((), rdt), pj)  # keep finite
+        piv = jnp.sqrt(pj).astype(a.dtype)
+        col = jnp.where(rows > j, a[:, j] / piv, a[:, j])
+        col = col.at[j].set(piv)
+        a = a.at[:, j].set(col)
+        # trailing update (lower triangle): A[r,c] -= L[r,j] conj(L[c,j])
+        mask = (rows[:, None] > j) & (rows[None, :] > j)
+        upd = jnp.where(mask, col[:, None] * jnp.conj(col)[None, :], 0)
+        return a - upd, count, ok
+
+    init = (a, jnp.zeros((), jnp.int32), jnp.ones((), jnp.bool_))
+    a, count, ok = jax.lax.fori_loop(0, b, body, init)
+    return jnp.tril(a), count, ok
+
+
+@functools.partial(jax.jit, static_argnames=("reg", "params"))
+def llt_factor(a, *, reg: LltRegularization | None = None,
+               params: LltParams | None = None):
+    """Blocked LLT of the lower triangle of ``a``: returns ``(L, LltInfo)``.
+
+    faer ``cholesky_in_place`` (``llt/factor.rs:67``) →
+    ``cholesky_block_left_looking`` (``ldlt/factor.rs:499``); here right-looking
+    so the trailing update is one exact-size GEMM per panel.
+    """
+    params = params or LltParams.auto(a.dtype, a.shape)
+    reg = reg or LltRegularization()
+    n = a.shape[0]
+    block = params.block_size or (256 if n >= 1024 else 64 if n >= 128 else n)
+    count = jnp.zeros((), jnp.int32)
+    ok = jnp.ones((), jnp.bool_)
+    a = jnp.tril(a)
+
+    for k in range(0, n, block):
+        bw = min(block, n - k)
+        d, c, o = _panel_llt(a[k:k + bw, k:k + bw], reg)
+        count, ok = count + c, ok & o
+        if k + bw < n:
+            # L21 L11ᴴ = A21  ⇔  L11 (L21ᴴ) = A21ᴴ → one lower solve
+            a21 = a[k + bw:, k:k + bw]
+            l21 = jnp.conj(solve_lower_triangular(d, jnp.conj(a21).T)).T
+            a22 = a[k + bw:, k + bw:] - jnp.tril(matmul(None, l21, jnp.conj(l21).T))
+            left = a[k + bw:, :k]
+            a = jnp.concatenate([
+                a[:k],
+                jnp.concatenate([a[k:k + bw, :k], d, jnp.zeros((bw, n - k - bw), a.dtype)], axis=1),
+                jnp.concatenate([left, l21, a22], axis=1),
+            ], axis=0)
+        else:
+            a = jnp.concatenate([
+                a[:k],
+                jnp.concatenate([a[k:, :k], d], axis=1),
+            ], axis=0)
+
+    return jnp.tril(a), LltInfo(dynamic_regularization_count=count, success=ok)
+
+
+@jax.jit
+def llt_solve(l, b):
+    """Solve L Lᴴ x = b (faer ``llt/solve.rs:12``)."""
+    y = solve_lower_triangular(l, b)
+    return solve_lower_triangular_adjoint(l, y)
+
+
+@jax.jit
+def llt_inverse(l):
+    n = l.shape[0]
+    return llt_solve(l, jnp.eye(n, dtype=l.dtype))
+
+
+@jax.jit
+def llt_reconstruct(l):
+    return matmul(None, l, jnp.conj(l).T)
+
+
+# ---------------------------------------------------------------------------
+# LDLT (no pivoting)
+# ---------------------------------------------------------------------------
+
+def _panel_ldlt(a, reg: LdltRegularization):
+    b = a.shape[0]
+    rdt = dtypes.real_dtype_of(a.dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
+
+    def body(j, state):
+        a, count, ok = state
+        dj = jnp.real(a[j, j]).astype(rdt)
+        ok = ok & (dj != 0)
+        if reg.epsilon > 0:
+            needs = jnp.abs(dj) <= reg.delta
+            sign = jnp.where(dj < 0, -1.0, 1.0).astype(rdt)
+            dj = jnp.where(needs, sign * jnp.asarray(reg.epsilon, rdt), dj)
+            count = count + jnp.where(needs, 1, 0)
+        else:
+            dj = jnp.where(dj == 0, jnp.ones((), rdt), dj)
+        djc = dj.astype(a.dtype)
+        col = jnp.where(rows > j, a[:, j] / djc, a[:, j])
+        col = col.at[j].set(djc)
+        a = a.at[:, j].set(col)
+        mask = (rows[:, None] > j) & (rows[None, :] > j)
+        upd = jnp.where(mask, (col * djc)[:, None] * jnp.conj(col)[None, :], 0)
+        return a - upd, count, ok
+
+    init = (a, jnp.zeros((), jnp.int32), jnp.ones((), jnp.bool_))
+    a, count, ok = jax.lax.fori_loop(0, b, body, init)
+    return jnp.tril(a), count, ok
+
+
+@functools.partial(jax.jit, static_argnames=("reg", "params"))
+def ldlt_factor(a, *, reg: LdltRegularization | None = None,
+                params: LdltParams | None = None):
+    """Blocked LDLT (packed: unit-L strict lower, D on diagonal).
+
+    faer ``cholesky_in_place`` (``ldlt/factor.rs:725``).
+    """
+    params = params or LdltParams.auto(a.dtype, a.shape)
+    reg = reg or LdltRegularization()
+    n = a.shape[0]
+    block = params.block_size or (256 if n >= 1024 else 64 if n >= 128 else n)
+    count = jnp.zeros((), jnp.int32)
+    ok = jnp.ones((), jnp.bool_)
+    a = jnp.tril(a)
+
+    for k in range(0, n, block):
+        bw = min(block, n - k)
+        d, c, o = _panel_ldlt(a[k:k + bw, k:k + bw], reg)
+        count, ok = count + c, ok & o
+        if k + bw < n:
+            a21 = a[k + bw:, k:k + bw]
+            # L21 D L11ᴴ = A21 → L21 = A21 L11⁻ᴴ D⁻¹
+            x = jnp.conj(solve_unit_lower_triangular(d, jnp.conj(a21).T)).T
+            dd = jnp.real(jnp.diagonal(d)).astype(dtypes.real_dtype_of(a.dtype))
+            l21 = x / dd[None, :].astype(a.dtype)
+            a22 = a[k + bw:, k + bw:] - jnp.tril(
+                matmul(None, l21 * dd[None, :].astype(a.dtype), jnp.conj(l21).T))
+            left = a[k + bw:, :k]
+            a = jnp.concatenate([
+                a[:k],
+                jnp.concatenate([a[k:k + bw, :k], d, jnp.zeros((bw, n - k - bw), a.dtype)], axis=1),
+                jnp.concatenate([left, l21, a22], axis=1),
+            ], axis=0)
+        else:
+            a = jnp.concatenate([a[:k], jnp.concatenate([a[k:, :k], d], axis=1)], axis=0)
+
+    return jnp.tril(a), LdltInfo(dynamic_regularization_count=count, success=ok)
+
+
+@jax.jit
+def ldlt_solve(ld, b):
+    """Solve (L D Lᴴ) x = b from packed LDLT."""
+    d = jnp.real(jnp.diagonal(ld))
+    y = solve_unit_lower_triangular(ld, b)
+    y = y / d[:, None].astype(ld.dtype)
+    from faer_tpu.ops.triangular_solve import solve_upper_triangular as _up
+    return _up(jnp.conj(ld).T, y, unit=True)
+
+
+@jax.jit
+def ldlt_reconstruct(ld):
+    n = ld.shape[0]
+    l = jnp.tril(ld, -1) + jnp.eye(n, dtype=ld.dtype)
+    d = jnp.real(jnp.diagonal(ld)).astype(ld.dtype)
+    return matmul(None, l * d[None, :], jnp.conj(l).T)
+
+
+# ---------------------------------------------------------------------------
+# pivoted LLT (diagonal full pivoting, rank-revealing for PSD)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def piv_llt_factor(a):
+    """Full (diagonal) pivoted LLT: returns ``(L, perm, rank, info)``.
+
+    ``A[perm][:, perm] = L Lᴴ``. faer ``llt_pivoting/factor.rs:199`` (LAPACK
+    pstrf-style). Stops contributing once the remaining diagonal drops below
+    ``n·eps·max(diag)`` — those columns are zeroed and excluded from rank.
+    """
+    n = a.shape[0]
+    rdt = dtypes.real_dtype_of(a.dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    a = jnp.tril(a)
+    a = a + jnp.conj(jnp.tril(a, -1)).T  # full Hermitian for symmetric swaps
+    tol = jnp.asarray(n, rdt) * dtypes.eps(a.dtype) * jnp.max(
+        jnp.maximum(jnp.real(jnp.diagonal(a)).astype(rdt), 0))
+
+    def body(j, state):
+        a, perm, rank, count = state
+        diag = jnp.real(jnp.diagonal(a)).astype(rdt)
+        diag = jnp.where(rows >= j, diag, -jnp.inf)
+        p = jnp.argmax(diag).astype(jnp.int32)
+        a = permod.swap_rows(a, j, p)
+        a = permod.swap_cols(a, j, p)
+        perm = permod.swap_rows(perm, j, p)
+        pj = jnp.real(a[j, j]).astype(rdt)
+        alive = pj > tol
+        rank = rank + jnp.where(alive, 1, 0)
+        count = count + jnp.where(alive, 0, 1)
+        piv = jnp.sqrt(jnp.where(alive, pj, jnp.ones((), rdt))).astype(a.dtype)
+        col = jnp.where(rows > j, a[:, j] / piv, a[:, j])
+        col = col.at[j].set(piv)
+        col = jnp.where(alive, col, jnp.where(rows == j, jnp.zeros_like(col), col).at[j].set(0))
+        a = a.at[:, j].set(col)
+        a = a.at[j, :].set(jnp.conj(col))  # keep Hermitian mirror for swaps
+        mask = (rows[:, None] > j) & (rows[None, :] > j)
+        upd = jnp.where(mask, col[:, None] * jnp.conj(col)[None, :], 0)
+        return a - upd, perm, rank, count
+
+    init = (a, jnp.arange(n, dtype=jnp.int32), jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32))
+    a, perm, rank, count = jax.lax.fori_loop(0, n, body, init)
+    info = LltInfo(dynamic_regularization_count=count, success=count == 0)
+    return jnp.tril(a), perm, rank, info
+
+
+@jax.jit
+def piv_llt_solve(l, perm, b):
+    pb = jnp.take(b, perm, axis=0)
+    x = llt_solve(l, pb)
+    return permod.permute_rows_inverse(x, perm)
+
+
+@jax.jit
+def piv_llt_reconstruct(l, perm):
+    a = matmul(None, l, jnp.conj(l).T)
+    iperm = permod.invert_perm(perm)
+    return jnp.take(jnp.take(a, iperm, axis=0), iperm, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Bunch-Kaufman LBLT (1×1 / 2×2 pivots)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def lblt_factor(a, params: LbltParams | None = None):
+    """Bunch-Kaufman LBLT of the lower triangle: ``A[perm][:,perm] = L B Lᴴ``.
+
+    Returns ``(lb, subdiag, perm, info)`` where ``lb`` packs unit-L (strict
+    lower) and the 1×1 diagonal entries of B; ``subdiag[k] != 0`` marks a 2×2
+    block starting at k with off-diagonal ``subdiag[k]``.
+
+    faer ``bunch_kaufman/factor.rs:1161`` (partial pivoting strategy, LAPACK
+    sytf2-style). Implemented as a ``while_loop`` advancing by 1 or 2 columns
+    with masked full-matrix updates.
+    """
+    del params
+    n = a.shape[0]
+    rdt = dtypes.real_dtype_of(a.dtype)
+    alpha = (1.0 + 17.0 ** 0.5) / 8.0
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    a = jnp.tril(a)
+    a = a + jnp.conj(jnp.tril(a, -1)).T  # full Hermitian; swaps stay cheap
+
+    def cond(state):
+        k = state[0]
+        return k < n
+
+    def body(state):
+        k, a, perm, subdiag, nt, count = state
+        absakk = jnp.abs(jnp.real(a[k, k])).astype(rdt)
+        colmag = jnp.where(rows > k, jnp.abs(a[:, k]).astype(rdt), -1.0)
+        r = jnp.argmax(colmag).astype(jnp.int32)
+        colmax = jnp.maximum(colmag[r], 0.0)
+        # rowmax = max_{i >= k, i != r} |A[r, i]|
+        rowmag = jnp.where((rows >= k) & (rows != r), jnp.abs(a[r, :]).astype(rdt), -1.0)
+        rowmax = jnp.maximum(jnp.max(rowmag), 0.0)
+
+        zero_piv = jnp.maximum(absakk, colmax) == 0
+        use_1x1_noswap = absakk >= alpha * colmax
+        use_1x1_noswap2 = absakk * rowmax >= alpha * colmax * colmax
+        use_1x1_swap = jnp.abs(jnp.real(a[r, r])).astype(rdt) >= alpha * rowmax
+        one_by_one = zero_piv | use_1x1_noswap | use_1x1_noswap2 | use_1x1_swap
+        do_swap = (~zero_piv) & (~use_1x1_noswap) & (~use_1x1_noswap2)
+        kp = jnp.where(do_swap, r, k)
+        swap_row = jnp.where(one_by_one, k, k + 1)
+
+        a = jax.lax.cond(
+            kp != swap_row,
+            lambda a: permod.swap_cols(permod.swap_rows(a, swap_row, kp), swap_row, kp),
+            lambda a: a,
+            a,
+        )
+        perm = jax.lax.cond(
+            kp != swap_row,
+            lambda p: permod.swap_rows(p, swap_row, kp),
+            lambda p: p,
+            perm,
+        )
+        nt = nt + jnp.where(kp != swap_row, 1, 0)
+
+        def step_1x1(a, subdiag):
+            d = jnp.real(a[k, k])
+            safe = jnp.where(d == 0, jnp.ones_like(d), d).astype(a.dtype)
+            col = jnp.where(rows > k, a[:, k] / safe, a[:, k])
+            mask = (rows[:, None] > k) & (rows[None, :] > k)
+            upd = jnp.where(mask, (col * safe)[:, None] * jnp.conj(col)[None, :], 0)
+            a2 = a - upd
+            a2 = a2.at[:, k].set(jnp.where(rows > k, col, a[:, k]))
+            a2 = a2.at[k, :].set(jnp.where(rows > k, jnp.conj(col), a[k, :]))
+            return a2, subdiag
+
+        def step_2x2(a, subdiag):
+            # D = [[d11, conj(d21)], [d21, d22]] Hermitian
+            d11 = a[k, k]
+            d21 = a[k + 1, k] if True else None
+            d22 = a[k + 1, k + 1]
+            det = jnp.real(d11 * d22 - d21 * jnp.conj(d21))
+            safe_det = jnp.where(det == 0, jnp.ones_like(det), det).astype(a.dtype)
+            # W = A[:, k:k+2] (rows > k+1); L = W inv(D)
+            w1 = a[:, k]
+            w2 = a[:, k + 1]
+            inv11 = (jnp.real(d22) / jnp.real(safe_det)).astype(a.dtype)
+            inv22 = (jnp.real(d11) / jnp.real(safe_det)).astype(a.dtype)
+            inv21 = -d21 / safe_det
+            l1 = w1 * inv11 + w2 * inv21
+            l2 = w1 * jnp.conj(inv21) + w2 * inv22
+            below = rows > k + 1
+            l1 = jnp.where(below, l1, w1)
+            l2 = jnp.where(below, l2, w2)
+            mask = below[:, None] & below[None, :]
+            upd = jnp.where(
+                mask,
+                l1[:, None] * jnp.conj(w1)[None, :] + l2[:, None] * jnp.conj(w2)[None, :],
+                0,
+            )
+            a2 = a - upd
+            a2 = a2.at[:, k].set(jnp.where(below, l1, a[:, k]))
+            a2 = a2.at[:, k + 1].set(jnp.where(below, l2, a[:, k + 1]))
+            a2 = a2.at[k, :].set(jnp.where(below, jnp.conj(l1), a[k, :]))
+            a2 = a2.at[k + 1, :].set(jnp.where(below, jnp.conj(l2), a[k + 1, :]))
+            subdiag = subdiag.at[k].set(d21)
+            return a2, subdiag
+
+        # guard k+1 accesses when a 1×1 step sits at the last column
+        def do_2x2(ops):
+            a, subdiag = ops
+            return jax.lax.cond(k + 1 < n, lambda o: step_2x2(*o), lambda o: step_1x1(*o), (a, subdiag))
+
+        a, subdiag = jax.lax.cond(one_by_one, lambda o: step_1x1(*o), do_2x2, (a, subdiag))
+        count = count + jnp.where(zero_piv, 1, 0)
+        k = k + jnp.where(one_by_one, 1, 2)
+        return k, a, perm, subdiag, nt, count
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        a,
+        jnp.arange(n, dtype=jnp.int32),
+        jnp.zeros((n,), a.dtype),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32),
+    )
+    k, a, perm, subdiag, nt, count = jax.lax.while_loop(cond, body, init)
+    info = LbltInfo(dynamic_regularization_count=count, transposition_count=nt)
+    return jnp.tril(a), subdiag, perm, info
+
+
+def _solve_block_diag(diag, subdiag, b):
+    """Solve B x = b for Hermitian block-diagonal B with 1×1/2×2 blocks.
+
+    ``diag``: real diagonal entries; ``subdiag[k] != 0`` ⇒ 2×2 block at
+    (k, k+1). Fully vectorized with shifted arrays + masks.
+    """
+    n = diag.shape[0]
+    dt = b.dtype
+    is2 = subdiag != 0                      # start of a 2×2 block
+    is2_second = jnp.concatenate([jnp.zeros((1,), bool), is2[:-1]])
+    d = diag.astype(dt)
+    e = subdiag                              # at block start k: B[k+1,k]
+    d_next = jnp.concatenate([d[1:], jnp.ones((1,), dt)])
+    e_prev = jnp.concatenate([jnp.ones((1,), dt), e[:-1]])
+    d_prev = jnp.concatenate([jnp.ones((1,), dt), d[:-1]])
+    b_next = jnp.concatenate([b[1:], jnp.zeros((1,) + b.shape[1:], dt)])
+    b_prev = jnp.concatenate([jnp.zeros((1,) + b.shape[1:], dt), b[:-1]])
+
+    det = d * d_next - e * jnp.conj(e)
+    det = jnp.where(is2, det, jnp.ones_like(det))
+    det_prev = jnp.concatenate([jnp.ones((1,), dt), det[:-1]])
+    safe_d = jnp.where(d == 0, jnp.ones_like(d), d)
+
+    x_1x1 = b / safe_d[:, None]
+    # block start row: x_k = (d_{k+1} b_k − conj(e_k) b_{k+1}) / det
+    x_2x2_first = (d_next[:, None] * b - jnp.conj(e)[:, None] * b_next) / det[:, None]
+    # second row: x_{k+1} = (d_k b_{k+1} − e_k b_k) / det  (shifted view)
+    x_2x2_second = (d_prev[:, None] * b - e_prev[:, None] * b_prev) / det_prev[:, None]
+
+    x = jnp.where(is2[:, None], x_2x2_first,
+                  jnp.where(is2_second[:, None], x_2x2_second, x_1x1))
+    del n
+    return x
+
+
+def _lblt_strip_l(lb, subdiag):
+    """Packed → clean unit-L: inside a 2×2 pivot the (k+1, k) slot stores the
+    B off-diagonal, which is *not* an L entry."""
+    n = lb.shape[0]
+    if n <= 1:
+        return lb
+    is2 = (subdiag[:-1] != 0).astype(lb.dtype)
+    return lb - jnp.diag(jnp.diagonal(lb, -1) * is2, -1)
+
+
+@jax.jit
+def lblt_solve(lb, subdiag, perm, b):
+    """Solve A x = b from the LBLT factorization."""
+    lb = _lblt_strip_l(lb, subdiag)
+    pb = jnp.take(b, perm, axis=0)
+    y = solve_unit_lower_triangular(lb, pb)
+    d = jnp.real(jnp.diagonal(lb))
+    z = _solve_block_diag(d, subdiag, y)
+    w = solve_upper_triangular(jnp.conj(lb).T, z, unit=True)
+    return permod.permute_rows_inverse(w, perm)
+
+
+@jax.jit
+def lblt_reconstruct(lb, subdiag, perm):
+    n = lb.shape[0]
+    l = jnp.tril(_lblt_strip_l(lb, subdiag), -1) + jnp.eye(n, dtype=lb.dtype)
+    bmat = jnp.diag(jnp.real(jnp.diagonal(lb)).astype(lb.dtype))
+    bmat = bmat + jnp.diag(subdiag[:-1], -1) if n > 1 else bmat
+    bmat = bmat + jnp.conj(jnp.diag(subdiag[:-1], -1)).T if n > 1 else bmat
+    a = matmul(None, matmul(None, l, bmat), jnp.conj(l).T)
+    iperm = permod.invert_perm(perm)
+    return jnp.take(jnp.take(a, iperm, axis=0), iperm, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# rank update (llt/update.rs:360)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("alpha",))
+def llt_rank_1_update(l, w, alpha):
+    """Cholesky factor of ``L Lᴴ + α w wᴴ`` (static-sign ``alpha``; negative
+    values perform a downdate, which requires the result to stay PD).
+
+    Update: Givens rotations folding v = √α·w into L column by column
+    (LINPACK ``chud``-style). Downdate: hyperbolic rotations (``chdd``).
+    One ``fori_loop`` with masked tail updates — O(n²), VPU work.
+    """
+    n = l.shape[0]
+    rdt = dtypes.real_dtype_of(l.dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    alpha = float(alpha)
+    v0 = (abs(alpha) ** 0.5) * w.astype(l.dtype)
+
+    if alpha >= 0:
+        def body(j, state):
+            l, v = state
+            a_ = jnp.real(l[j, j]).astype(rdt)
+            b_ = v[j]
+            r = jnp.sqrt(a_ * a_ + jnp.abs(b_).astype(rdt) ** 2)
+            safe_r = jnp.where(r == 0, jnp.ones_like(r), r)
+            c = (a_ / safe_r).astype(l.dtype)
+            s_ = b_ / safe_r.astype(l.dtype)
+            col = l[:, j]
+            new_col = jnp.where(rows > j, c * col + jnp.conj(s_) * v, col)
+            new_col = new_col.at[j].set(r.astype(l.dtype))
+            new_v = jnp.where(rows > j, c * v - s_ * col, v)
+            return l.at[:, j].set(new_col), new_v
+    else:
+        def body(j, state):
+            l, v = state
+            a_ = jnp.real(l[j, j]).astype(rdt)
+            b_ = v[j]
+            safe_a = jnp.where(a_ == 0, jnp.ones_like(a_), a_)
+            t = b_ / safe_a.astype(l.dtype)
+            one_m = jnp.maximum(1.0 - jnp.abs(t).astype(rdt) ** 2,
+                                jnp.asarray(dtypes.eps(rdt), rdt))
+            gamma = (1.0 / jnp.sqrt(one_m)).astype(l.dtype)
+            col = l[:, j]
+            new_col = jnp.where(rows > j, gamma * (col - jnp.conj(t) * v), col)
+            new_col = new_col.at[j].set((a_ * jnp.sqrt(one_m)).astype(l.dtype))
+            new_v = jnp.where(rows > j, gamma * (v - t * col), v)
+            new_v = new_v.at[j].set(jnp.zeros((), l.dtype))
+            return l.at[:, j].set(new_col), new_v
+
+    l, _ = jax.lax.fori_loop(0, n, body, (l, v0))
+    return jnp.tril(l)
+
+
+def llt_rank_r_update(l, w, alpha):
+    """faer ``rank_r_update_clobber`` (``llt/update.rs:360``): r sequential
+    rank-1 updates."""
+    w = jnp.atleast_2d(w.T).T if w.ndim == 1 else w
+    for j in range(w.shape[1]):
+        l = llt_rank_1_update(l, w[:, j], alpha)
+    return l

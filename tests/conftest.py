@@ -1,0 +1,36 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh (SURVEY §4: multi-chip tests use fake
+meshes; the driver validates real-TPU paths separately). f64 is enabled for
+numerical-parity tests against faer's f64 suite.
+"""
+import os
+
+# Force the virtual CPU mesh even when a real TPU is attached (the launcher
+# pre-sets JAX_PLATFORMS=axon, which wins over the env var — override via
+# jax.config instead); FAER_TPU_TEST_TPU=1 opts out to run on the real chip.
+_use_tpu = os.environ.get("FAER_TPU_TEST_TPU", "0") == "1"
+if not _use_tpu:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+if not _use_tpu:
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running test")
+    config.addinivalue_line("markers", "tpu: requires a real TPU")

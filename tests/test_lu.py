@@ -1,0 +1,90 @@
+"""LU tests: partial + full pivoting, solve/inverse/reconstruct/determinant.
+
+Mirrors faer's property tests (reconstruction + solve residuals, size/dtype
+sweeps, seeded RNG).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from faer_tpu import stats
+from faer_tpu.core.params import PartialPivLuParams
+from faer_tpu.linalg import lu
+from faer_tpu.utils.approx import assert_approx_eq, size_scale
+
+DTYPES = [jnp.float32, jnp.float64, jnp.complex64, jnp.complex128]
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+@pytest.mark.parametrize("m,n", [(4, 4), (33, 33), (100, 100), (150, 90), (90, 150)])
+def test_partial_piv_lu_reconstruct(dtype, m, n):
+    key = jax.random.key(10)
+    a = stats.standard_normal_mat(key, m, n, dtype)
+    packed, perm, info = lu.lu_in_place(a)
+    rec = lu.lu_reconstruct(packed, perm)
+    assert_approx_eq(rec, a, scale=size_scale(max(m, n)) * 4, tol_dtype=dtype)
+    assert bool(info.success)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float64, jnp.complex128])
+@pytest.mark.parametrize("n", [10, 64, 130])
+def test_partial_piv_lu_solve(dtype, n):
+    key = jax.random.key(11)
+    k1, k2 = jax.random.split(key)
+    a = stats.standard_normal_mat(k1, n, n, dtype)
+    b = stats.standard_normal_mat(k2, n, 3, dtype)
+    packed, perm, _ = lu.lu_in_place(a)
+    x = lu.lu_solve(packed, perm, b)
+    assert_approx_eq(np.asarray(a) @ np.asarray(x), b, scale=size_scale(n) * 16)
+
+    xt = lu.lu_solve_transpose(packed, perm, b)
+    assert_approx_eq(np.asarray(a).T @ np.asarray(xt), b, scale=size_scale(n) * 16)
+
+    inv = lu.lu_inverse(packed, perm)
+    assert_approx_eq(np.asarray(inv) @ np.asarray(a), np.eye(n), scale=size_scale(n) * 16)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float64])
+def test_lu_determinant(dtype):
+    key = jax.random.key(12)
+    n = 24
+    a = stats.standard_normal_mat(key, n, n, dtype)
+    packed, perm, info = lu.lu_in_place(a)
+    det = lu.lu_determinant(packed, perm, info.transposition_count)
+    want = np.linalg.det(np.asarray(a))
+    assert_approx_eq(det, want, scale=size_scale(n) * 8)
+
+
+def test_lu_block_sizes_agree():
+    key = jax.random.key(13)
+    n = 70
+    a = stats.standard_normal_mat(key, n, n, jnp.float64)
+    p1, perm1, _ = lu.lu_in_place(a, PartialPivLuParams(block_size=8))
+    p2, perm2, _ = lu.lu_in_place(a, PartialPivLuParams(block_size=70))
+    assert_approx_eq(p1, p2, scale=size_scale(n) * 8)
+    np.testing.assert_array_equal(np.asarray(perm1), np.asarray(perm2))
+
+
+@pytest.mark.parametrize("dtype", [jnp.float64, jnp.complex128])
+@pytest.mark.parametrize("m,n", [(20, 20), (40, 25), (25, 40)])
+def test_full_piv_lu(dtype, m, n):
+    key = jax.random.key(14)
+    a = stats.standard_normal_mat(key, m, n, dtype)
+    packed, rp, cp, info = lu.full_piv_lu_in_place(a)
+    rec = lu.full_piv_lu_reconstruct(packed, rp, cp)
+    assert_approx_eq(rec, a, scale=size_scale(max(m, n)) * 8)
+    # |L| entries ≤ 1 with full pivoting
+    l = np.tril(np.asarray(packed)[:, :min(m, n)], -1)
+    assert np.max(np.abs(l)) <= 1.0 + 1e-10
+
+    if m == n:
+        b = stats.standard_normal_mat(jax.random.key(15), n, 2, dtype)
+        x = lu.full_piv_lu_solve(packed, rp, cp, b)
+        assert_approx_eq(np.asarray(a) @ np.asarray(x), b, scale=size_scale(n) * 16)
+
+
+def test_lu_singular_flags():
+    a = jnp.zeros((5, 5), jnp.float64)
+    _, _, info = lu.lu_in_place(a)
+    assert not bool(info.success)
