@@ -1,0 +1,135 @@
+"""SVD of a real upper-bidiagonal matrix: implicit-shift Golub–Kahan QR.
+
+Reference parity: ``faer/src/linalg/svd/bidiag_svd.rs`` — QR-algorithm path
+(``:274``); faer's divide & conquer (``:1005``) with secular solves is the
+planned large-n upgrade (SURVEY §7 stage 5 hard parts).
+
+TPU-native design: one ``lax.while_loop``; each iteration runs one shifted
+bulge-chase sweep over the active block as a masked ``fori_loop``, applying
+the right rotations to V's columns and the left rotations to U's columns —
+the same static-shape pattern as ``tridiag_evd``.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from faer_tpu.core import dtypes
+from faer_tpu.core.errors import SpectralInfo
+from faer_tpu.linalg.tridiag_evd import _givens_real, _wilkinson_shift
+
+
+def bidiag_svd(d, e, *, want_u: bool = True, want_v: bool = True,
+               max_sweeps_factor: int = 30):
+    """SVD of B = bidiag(d, e) (d: (n,), e: (n-1,), both real).
+
+    Returns ``(s, u, v, info)`` with ``B = U diag(s) Vᵀ``, s descending ≥ 0.
+    """
+    n = d.shape[0]
+    rdt = d.dtype
+    eye = jnp.eye(n, dtype=rdt)
+    if n == 1:
+        s = jnp.abs(d)
+        u = jnp.where(d < 0, -eye, eye) if want_u else None
+        return s, u, (eye if want_v else None), SpectralInfo(
+            converged=jnp.ones((), bool), iterations=jnp.zeros((), jnp.int32))
+    eps = dtypes.eps(rdt)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n - 1, 1), 0)[:, 0]
+    max_iters = max_sweeps_factor * n
+
+    def sweep(d, e, u, v, l, m):
+        # shift: Wilkinson eigenvalue of trailing 2×2 of BᵀB
+        dm = d[m]
+        dm1 = d[m - 1]
+        em1 = e[m - 1]
+        em2 = jnp.where(m >= 2, e[jnp.maximum(m - 2, 0)], jnp.zeros((), rdt))
+        t11 = dm1 * dm1 + em2 * em2
+        t22 = dm * dm + em1 * em1
+        t12 = dm1 * em1
+        mu = _wilkinson_shift(t11, t12, t22)
+        x0 = d[l] * d[l] - mu
+        z0 = d[l] * e[l]
+
+        def body(i, state):
+            d, e, u, v, x, bz = state
+            active = (i >= l) & (i < m)
+            # right rotation (cols i, i+1) zeroing bz against x
+            c1, s1, r1 = _givens_real(x, bz)
+            c1 = jnp.where(active, c1, jnp.ones_like(c1))
+            s1 = jnp.where(active, s1, jnp.zeros_like(s1))
+            e = jnp.where((idx == i - 1) & active & (i > l), r1, e)
+            di, dip1, ei = d[i], d[i + 1], e[i]
+            new_di = c1 * di + s1 * ei
+            new_ei = -s1 * di + c1 * ei
+            bulge = s1 * dip1             # at (i+1, i)
+            new_dip1 = c1 * dip1
+            if v is not None:
+                vi, vip1 = v[:, i], v[:, i + 1]
+                v = v.at[:, i].set(c1 * vi + s1 * vip1)
+                v = v.at[:, i + 1].set(-s1 * vi + c1 * vip1)
+            # left rotation (rows i, i+1) zeroing bulge against new_di
+            c2, s2, r2 = _givens_real(new_di, bulge)
+            c2 = jnp.where(active, c2, jnp.ones_like(c2))
+            s2 = jnp.where(active, s2, jnp.zeros_like(s2))
+            d = d.at[i].set(jnp.where(active, r2, di))
+            e2 = c2 * new_ei + s2 * new_dip1
+            d2ip1 = -s2 * new_ei + c2 * new_dip1
+            d = d.at[i + 1].set(jnp.where(active, d2ip1, dip1))
+            e = e.at[i].set(jnp.where(active, e2, ei))
+            # carry must pass through untouched on inactive steps (see
+            # tridiag_evd: a zeroed bulge degenerates l > 0 sweeps to identity)
+            has_next = active & (i + 1 < m)
+            e_next = e[jnp.minimum(i + 1, n - 2)]
+            bz2 = jnp.where(active, jnp.where(has_next, s2 * e_next, jnp.zeros_like(s2)), bz)
+            e = e.at[jnp.minimum(i + 1, n - 2)].set(
+                jnp.where(has_next, c2 * e_next, e_next))
+            if u is not None:
+                ui, uip1 = u[:, i], u[:, i + 1]
+                u = u.at[:, i].set(c2 * ui + s2 * uip1)
+                u = u.at[:, i + 1].set(-s2 * ui + c2 * uip1)
+            x = jnp.where(active, e2, x)
+            return d, e, u, v, x, bz2
+
+        d, e, u, v, _, _ = jax.lax.fori_loop(0, n - 1, body, (d, e, u, v, x0, z0))
+        return d, e, u, v
+
+    def cond(state):
+        d, e, u, v, l, it = state
+        return (l < n - 1) & (it < max_iters)
+
+    def body(state):
+        d, e, u, v, l, it = state
+        tol = eps * (jnp.abs(d[:-1]) + jnp.abs(d[1:]))
+        e = jnp.where(jnp.abs(e) <= tol, jnp.zeros_like(e), e)
+        is_zero = (e == 0) & (idx >= l)
+        m = jnp.where(jnp.any(is_zero), jnp.argmax(is_zero), n - 1).astype(jnp.int32)
+        block_done = m <= l
+
+        def advance(ops):
+            return ops
+
+        def do_sweep(ops):
+            d, e, u, v = ops
+            return sweep(d, e, u, v, l, m)
+
+        d, e, u, v = jax.lax.cond(block_done, advance, do_sweep, (d, e, u, v))
+        l = jnp.where(block_done, l + 1, l)
+        return d, e, u, v, l, it + 1
+
+    u0 = eye if want_u else None
+    v0 = eye if want_v else None
+    state = (d, e, u0, v0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    d, e, u, v, l, it = jax.lax.while_loop(cond, body, state)
+
+    # sign-fix (σ ≥ 0, flip U columns) and sort descending
+    sgn = jnp.where(d < 0, -jnp.ones_like(d), jnp.ones_like(d))
+    s = d * sgn
+    if u is not None:
+        u = u * sgn[None, :]
+    order = jnp.argsort(-s)
+    s = s[order]
+    if u is not None:
+        u = u[:, order]
+    if v is not None:
+        v = v[:, order]
+    return s, u, v, SpectralInfo(converged=l >= n - 1, iterations=it)

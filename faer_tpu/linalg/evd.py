@@ -1,0 +1,300 @@
+"""Eigendecompositions: self-adjoint (tridiag + implicit QR) and general
+(Hessenberg + shifted QR → Schur → eigenvectors).
+
+Reference parity (SURVEY §2.4):
+* self-adjoint — ``faer/src/linalg/evd/mod.rs:270`` (``self_adjoint_evd``):
+  tridiagonalize → tridiag EVD → back-transform; eigenvalues ascending;
+* general — ``evd/mod.rs:1180,1213`` (``evd_cplx/evd_real``): Hessenberg
+  reduction (``hessenberg.rs:549``) → QR iteration to Schur form
+  (``schur/{real,complex}_schur.rs``) → triangular eigenvector solve
+  (``evd/mod.rs:670-882``).
+
+TPU-native design: real inputs are routed through the complex single-shift QR
+path (one uniform bulge-free Rayleigh-shift iteration in a ``while_loop`` with
+masked deflation) rather than a port of the real 2×2-block Francis/AED machinery
+— uniform complex arithmetic trades constant-factor FLOPs for compiler-friendly
+control flow; multishift+AED is the planned perf upgrade (SURVEY §7 hard parts).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from faer_tpu.core import dtypes
+from faer_tpu.core.errors import SpectralInfo
+from faer_tpu.core.flags import Side
+from faer_tpu.linalg.tridiag import tridiag_apply_q, tridiag_in_place
+from faer_tpu.linalg.tridiag_evd import tridiag_evd
+from faer_tpu.ops.matmul import matmul
+from faer_tpu.ops.triangular_solve import solve_upper_triangular
+
+
+@jax.jit
+def self_adjoint_evd(a):
+    """Full self-adjoint EVD of the lower triangle of ``a``.
+
+    Returns ``(w, v, info)`` with ``A = V diag(w) Vᴴ``, w real ascending.
+    faer ``self_adjoint_evd`` (``evd/mod.rs:270``).
+    """
+    n = a.shape[0]
+    full = jnp.tril(a) + jnp.conj(jnp.tril(a, -1)).T
+    d, e, hh, taus = tridiag_in_place(full)
+    w, z, info = tridiag_evd(d, e, want_vectors=True)
+    v = tridiag_apply_q(hh, taus, z.astype(a.dtype))
+    return w, v, info
+
+
+def self_adjoint_eigenvalues(a, side: Side = Side.LOWER):
+    a = a if side is Side.LOWER else jnp.conj(a).T
+    n = a.shape[0]
+    full = jnp.tril(a) + jnp.conj(jnp.tril(a, -1)).T
+    d, e, _, _ = tridiag_in_place(full)
+    w, _, _ = tridiag_evd(d, e, want_vectors=False)
+    return w
+
+
+def self_adjoint_pseudoinverse(a, tol=None):
+    """Pseudo-inverse via self-adjoint EVD (faer ``evd/pseudoinverse.rs``)."""
+    w, v, _ = self_adjoint_evd(a)
+    aw = jnp.abs(w)
+    if tol is None:
+        tol = jnp.max(aw) * a.shape[0] * dtypes.eps(a.dtype)
+    winv = jnp.where(aw > tol, 1.0 / jnp.where(w == 0, jnp.ones_like(w), w), jnp.zeros_like(w))
+    return matmul(None, v * winv[None, :].astype(v.dtype), jnp.conj(v).T)
+
+
+# ---------------------------------------------------------------------------
+# Hessenberg reduction (complex path)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def hessenberg_in_place(a):
+    """Unitary reduction to upper Hessenberg: returns ``(h, q)`` with
+    ``A = Q H Qᴴ``. faer ``hessenberg_in_place`` (``hessenberg.rs:549``);
+    unblocked masked fori (blocked panel variant is the perf upgrade).
+    """
+    n = a.shape[0]
+    dtype = a.dtype
+    rdt = dtypes.real_dtype_of(dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    q = jnp.eye(n, dtype=dtype)
+    if n <= 2:
+        return a, q
+
+    def body(j, state):
+        a, q = state
+        col = a[:, j]
+        below1 = rows > j + 1
+        head = jnp.where(rows == j + 1, col, jnp.zeros_like(col))
+        alpha = jnp.sum(head)
+        tail_sq = jnp.sum(jnp.where(below1, jnp.abs(col).astype(rdt) ** 2, 0))
+        norm = jnp.sqrt(jnp.abs(alpha).astype(rdt) ** 2 + tail_sq)
+        sign = jnp.where(jnp.real(alpha) >= 0, jnp.ones((), rdt), -jnp.ones((), rdt))
+        beta = (-sign * norm).astype(dtype)
+        if dtypes.is_complex(dtype):
+            is_id = (tail_sq == 0) & (jnp.imag(alpha) == 0)
+        else:
+            is_id = tail_sq == 0
+        s = alpha - beta
+        safe_s = jnp.where(is_id, jnp.ones((), dtype), s)
+        safe_b = jnp.where(is_id, jnp.ones((), dtype), beta)
+        tau = jnp.where(is_id, jnp.zeros((), dtype), (beta - alpha) / safe_b)
+        v = jnp.where(below1, col / safe_s, jnp.zeros_like(col))
+        v = jnp.where(is_id, jnp.zeros_like(v), v)
+        v = v + jnp.where(rows == j + 1, jnp.ones_like(v), jnp.zeros_like(v))
+        # A ← Hᴴ A H,  H = I − τ v vᴴ
+        w = matmul(None, jnp.conj(v)[None, :], a)[0]        # vᴴ A
+        a = a - jnp.conj(tau) * v[:, None] * w[None, :]
+        u = matmul(None, a, v[:, None])[:, 0]               # A v
+        a = a - tau * u[:, None] * jnp.conj(v)[None, :]
+        # Q ← Q H
+        uq = matmul(None, q, v[:, None])[:, 0]
+        q = q - tau * uq[:, None] * jnp.conj(v)[None, :]
+        return a, q
+
+    a, q = jax.lax.fori_loop(0, n - 2, body, (a, q))
+    # zero below the first subdiagonal exactly
+    mask = (rows[:, None] - rows[None, :]) <= 1
+    a = jnp.where(mask, a, jnp.zeros((), dtype))
+    return a, q
+
+
+# ---------------------------------------------------------------------------
+# complex Schur via single-shift implicit QR
+# ---------------------------------------------------------------------------
+
+def _cgivens(x, z):
+    """Complex Givens: c real, s complex with Gᴴ[x, z]ᵀ = [r, 0]ᵀ,
+    G = [[c, −s̄], [s, c]]."""
+    ax = jnp.abs(x)
+    az = jnp.abs(z)
+    r = jnp.sqrt(ax * ax + az * az)
+    safe_r = jnp.where(r == 0, jnp.ones_like(r), r)
+    c = jnp.where(r == 0, jnp.ones_like(ax), ax / safe_r)
+    safe_ax = jnp.where(ax == 0, jnp.ones_like(ax), ax)
+    phase = jnp.where(ax == 0, jnp.ones_like(x), x / safe_ax.astype(x.dtype))
+    s = jnp.where(r == 0, jnp.zeros_like(z),
+                  jnp.conj(phase) * z / safe_r.astype(x.dtype))
+    rr = phase * r.astype(x.dtype)
+    rr = jnp.where(az == 0, x, rr)
+    c = jnp.where(az == 0, jnp.ones_like(c), c)
+    s = jnp.where(az == 0, jnp.zeros_like(s), s)
+    return c, s, rr
+
+
+def complex_schur(h, q, *, max_sweeps_factor: int = 30):
+    """Schur form of upper-Hessenberg ``h``: returns (t, q, info) with
+    ``A = Q T Qᴴ``, T upper triangular. Single-shift (Wilkinson) implicit QR
+    with masked deflation in a ``while_loop``
+    (faer ``complex_schur.rs:631`` structure, without AED).
+    """
+    n = h.shape[0]
+    dtype = h.dtype
+    rdt = dtypes.real_dtype_of(dtype)
+    eps = dtypes.eps(dtype)
+    if n == 1:
+        return h, q, SpectralInfo(converged=jnp.ones((), bool), iterations=jnp.zeros((), jnp.int32))
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n - 1, 1), 0)[:, 0]
+    max_iters = max_sweeps_factor * n
+
+    def subdiag(h):
+        return jnp.diagonal(h, -1)
+
+    def body(state):
+        h, q, hi, it = state
+        # hi = index of the current active block's end (eigenvalue being worked)
+        sd = subdiag(h)
+        dmag = jnp.abs(jnp.diagonal(h))
+        tol = eps * (dmag[:-1] + dmag[1:])
+        negligible = jnp.abs(sd) <= tol
+        # deflate: while sd[hi-1] negligible → hi -= 1 (do one per iteration)
+        can_deflate = (hi > 0) & negligible[jnp.maximum(hi - 1, 0)]
+
+        def deflate(ops):
+            h, q = ops
+            return h, q
+
+        def do_sweep(ops):
+            h, q = ops
+            # lo = start of unreduced block ending at hi: largest l ≤ hi with
+            # negligible sd[l-1] (or 0)
+            cand = jnp.where((idx < hi) & negligible, idx + 1, 0)
+            lo = jnp.max(cand).astype(jnp.int32)
+            # Wilkinson shift from trailing 2×2 [hi-1, hi]
+            a11 = h[hi - 1, hi - 1]
+            a12 = h[hi - 1, hi]
+            a21 = h[hi, hi - 1]
+            a22 = h[hi, hi]
+            tr = a11 + a22
+            det = a11 * a22 - a12 * a21
+            disc = jnp.sqrt(tr * tr - 4 * det)
+            r1 = (tr + disc) / 2
+            r2 = (tr - disc) / 2
+            mu = jnp.where(jnp.abs(r1 - a22) < jnp.abs(r2 - a22), r1, r2)
+            x0 = h[lo, lo] - mu
+            z0 = h[lo + 1, lo]
+
+            def chase(i, st):
+                h, q, x, z = st
+                active = (i >= lo) & (i < hi)
+                c, s, _ = _cgivens(x, z)
+                c = jnp.where(active, c, jnp.ones_like(c))
+                s = jnp.where(active, s, jnp.zeros_like(s))
+                cc = c.astype(dtype)
+                # rows i, i+1: Gᴴ from the left: row_i' = c·row_i + s̄·row_{i+1}
+                ri = h[i, :]
+                rip1 = h[i + 1, :]
+                h = h.at[i, :].set(cc * ri + jnp.conj(s) * rip1)
+                h = h.at[i + 1, :].set(-s * ri + cc * rip1)
+                # cols i, i+1: G from the right: col_i' = c·col_i + s·col_{i+1}
+                ci_ = h[:, i]
+                cip1 = h[:, i + 1]
+                h = h.at[:, i].set(cc * ci_ + s * cip1)
+                h = h.at[:, i + 1].set(-jnp.conj(s) * ci_ + cc * cip1)
+                qi = q[:, i]
+                qip1 = q[:, i + 1]
+                q = q.at[:, i].set(cc * qi + s * qip1)
+                q = q.at[:, i + 1].set(-jnp.conj(s) * qi + cc * qip1)
+                # next rotation zeroes the bulge h[i+2, i] against h[i+1, i]
+                nx = h[jnp.minimum(i + 1, n - 1), i]
+                nz = h[jnp.minimum(i + 2, n - 1), jnp.minimum(i, n - 1)]
+                nz = jnp.where(i + 2 <= hi, nz, jnp.zeros_like(nz))
+                x = jnp.where(active, nx, x)
+                z = jnp.where(active, nz, z)
+                return h, q, x, z
+
+            h, q, _, _ = jax.lax.fori_loop(0, n - 1, chase, (h, q, x0, z0))
+            return h, q
+
+        h, q = jax.lax.cond(can_deflate, deflate, do_sweep, (h, q))
+        hi = jnp.where(can_deflate, hi - 1, hi)
+        return h, q, hi, it + 1
+
+    def cond(state):
+        h, q, hi, it = state
+        return (hi > 0) & (it < max_iters)
+
+    state = (h, q, jnp.asarray(n - 1, jnp.int32), jnp.zeros((), jnp.int32))
+    h, q, hi, it = jax.lax.while_loop(cond, body, state)
+    # clean below-diagonal
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    t = jnp.where(rows <= cols, h, jnp.zeros((), dtype))
+    return t, q, SpectralInfo(converged=hi == 0, iterations=it)
+
+
+def _triangular_eigenvectors(t):
+    """Right eigenvectors of upper-triangular T (unit-normalized columns).
+
+    Column k solves (T − t_kk I) x = 0 with x[k] = 1, x[k+1:] = 0 — a shifted
+    upper-triangular back-substitution per eigenvalue, vectorized by solving
+    all shifted systems batched (one triangular solve per column, trace-time
+    loop). faer's shifted quasi-triangular solves (``evd/mod.rs:670-882``).
+    """
+    n = t.shape[0]
+    dtype = t.dtype
+    eps = dtypes.eps(dtype)
+    diag = jnp.diagonal(t)
+    cols = []
+    tnorm = jnp.max(jnp.abs(t))
+    for k in range(n):
+        if k == 0:
+            cols.append(jnp.zeros((n,), dtype).at[0].set(1))
+            continue
+        lam = diag[k]
+        tk = t[:k, :k]
+        dshift = jnp.diagonal(tk) - lam
+        # regularize near-singular shifts (clustered eigenvalues)
+        floor = (eps * jnp.maximum(tnorm, 1.0)).astype(dtype)
+        small = jnp.abs(dshift) < jnp.abs(floor)
+        dshift = jnp.where(small, floor, dshift)
+        tshift = tk - jnp.diag(jnp.diagonal(tk)) + jnp.diag(dshift)
+        rhs = -t[:k, k][:, None]
+        x = solve_upper_triangular(tshift, rhs)[:, 0]
+        col = jnp.zeros((n,), dtype).at[:k].set(x).at[k].set(1)
+        cols.append(col)
+    v = jnp.stack(cols, axis=1)
+    norms = jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=0))
+    return v / norms[None, :].astype(dtype)
+
+
+def evd(a, *, max_sweeps_factor: int = 30):
+    """General eigendecomposition: returns ``(w, v, info)`` with
+    ``A v_k = w_k v_k``. Real inputs are complexified (uniform single-shift
+    path); faer ``evd_real/evd_cplx`` (``evd/mod.rs:1180,1213``).
+    """
+    cdt = dtypes.complex_dtype_of(a.dtype)
+    ac = a.astype(cdt)
+    h, q = hessenberg_in_place(ac)
+    t, qs, info = complex_schur(h, q, max_sweeps_factor=max_sweeps_factor)
+    w = jnp.diagonal(t)
+    vt = _triangular_eigenvectors(t)
+    v = matmul(None, qs, vt)
+    return w, v, info
+
+
+def eigenvalues(a, *, max_sweeps_factor: int = 30):
+    cdt = dtypes.complex_dtype_of(a.dtype)
+    h, q = hessenberg_in_place(a.astype(cdt))
+    t, _, _ = complex_schur(h, q, max_sweeps_factor=max_sweeps_factor)
+    return jnp.diagonal(t)
