@@ -1,0 +1,216 @@
+"""Krylov-Schur partial eigensolvers (matrix-free).
+
+Reference parity: ``faer/src/operator/eigen/mod.rs`` — ``iterate_arnoldi``
+(``:41``), ``partial_schur_{real,cplx}_imp`` (``:270,722``), public
+``partial_eigen`` (``:1271``), ``partial_self_adjoint_eigen`` (``:1341``),
+``partial_svd`` (``:1396``), ``PartialEigenParams/Info`` (``:10,23``).
+
+TPU-native design: the restart loop is a ``lax.while_loop`` whose state has
+*static* shapes — each restart compresses the basis to a fixed size p (QR of
+the selected Ritz vectors) and re-extends to m with a trace-time Arnoldi loop
+(full two-pass Gram-Schmidt as GEMMs). The small dense eigenproblem reuses
+``faer_tpu.linalg.evd``.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from faer_tpu.core import dtypes
+from faer_tpu.core.errors import PartialEigenInfo
+from faer_tpu.linalg import evd as _evd
+from faer_tpu.linalg.qr import qr_compute_q, qr_in_place
+from faer_tpu.matrix_free.operator import aslinop
+from faer_tpu.ops.matmul import matmul
+
+
+class _ComplexWrap:
+    """Apply a real operator to complex vectors (split real/imag)."""
+
+    def __init__(self, op, cdt):
+        self.op = op
+        self.shape = op.shape
+        self.cdt = cdt
+
+    def apply(self, x):
+        if dtypes.is_complex(x.dtype):
+            return (self.op.apply(jnp.real(x)) + 1j * self.op.apply(jnp.imag(x))).astype(self.cdt)
+        return self.op.apply(x).astype(self.cdt)
+
+
+def _orth_step(op, v_basis, j_cols, w):
+    """Two-pass classical Gram-Schmidt of w against the first columns of
+    v_basis selected by the 0/1 mask ``j_cols`` (shape (mb,))."""
+    mask = j_cols[None, :].astype(v_basis.dtype)
+    vb = v_basis * mask
+    h1 = matmul(None, jnp.conj(vb).T, w[:, None])[:, 0]
+    w = w - matmul(None, vb, h1[:, None])[:, 0]
+    h2 = matmul(None, jnp.conj(vb).T, w[:, None])[:, 0]
+    w = w - matmul(None, vb, h2[:, None])[:, 0]
+    return w, h1 + h2
+
+
+def _arnoldi_extend(op, v, h, start: int, m: int):
+    """Extend the Arnoldi factorization from basis size ``start`` to ``m``.
+
+    v: (n, m+1), h: (m+1, m); trace-time loop (start, m static).
+    """
+    n = v.shape[0]
+    rdt = dtypes.real_dtype_of(v.dtype)
+    mb = m + 1
+    for j in range(start, m):
+        w = op.apply(v[:, j][:, None])[:, 0]
+        sel = (jnp.arange(mb) <= j)
+        w, hj = _orth_step(op, v, sel, w)
+        beta = jnp.sqrt(jnp.sum(jnp.abs(w).astype(rdt) ** 2))
+        safe = jnp.where(beta == 0, jnp.ones_like(beta), beta)
+        v = v.at[:, j + 1].set(w / safe.astype(v.dtype))
+        hj = hj.at[j + 1].set(beta.astype(v.dtype))
+        h = h.at[:, j].set(hj)
+    return v, h
+
+
+def _partial_eigen_imp(op, v0, k: int, m: int, *, hermitian: bool,
+                       tol: float, max_restarts: int):
+    n = op.shape[0]
+    dtype = v0.dtype
+    rdt = dtypes.real_dtype_of(dtype)
+    p = min(max(2 * k, k + 2), m - 1)
+
+    rn = jnp.sqrt(jnp.sum(jnp.abs(v0).astype(rdt) ** 2))
+    v = jnp.zeros((n, m + 1), dtype).at[:, 0].set(
+        v0 / jnp.where(rn == 0, jnp.ones_like(rn), rn).astype(dtype))
+    h = jnp.zeros((m + 1, m), dtype)
+    v, h = _arnoldi_extend(op, v, h, 0, m)
+
+    def eig_small(hm):
+        if hermitian:
+            w, y, _ = _evd.self_adjoint_evd(0.5 * (hm + jnp.conj(hm).T))
+            return w.astype(dtype), y
+        w, y, _ = _evd.evd(hm)
+        return w, y
+
+    def ritz(v, h):
+        hm = h[:m, :m]
+        w, y = eig_small(hm)
+        # selection: largest magnitude first
+        order = jnp.argsort(-jnp.abs(w))
+        w = w[order]
+        y = y[:, order]
+        beta = h[m, m - 1]
+        res = jnp.abs(beta) * jnp.abs(y[m - 1, :])
+        return w, y, res
+
+    def converged_mask(w, res):
+        scale = jnp.maximum(jnp.abs(w), jnp.asarray(1.0, rdt).astype(jnp.abs(w).dtype))
+        return res <= tol * scale
+
+    def cond(state):
+        v, h, it, done = state
+        return (~done) & (it < max_restarts)
+
+    def body(state):
+        v, h, it, done = state
+        w, y, res = ritz(v, h)
+        # compress: orthonormal basis of the top-p Ritz vectors
+        yp = y[:, :p]
+        packed, ts, block = qr_in_place(yp)
+        q = qr_compute_q(packed, ts, block, thin=True)          # (m, p)
+        vnew = jnp.zeros_like(v)
+        vnew = vnew.at[:, :p].set(matmul(None, v[:, :m], q))
+        vnew = vnew.at[:, p].set(v[:, m])
+        hnew = jnp.zeros_like(h)
+        hnew = hnew.at[:p, :p].set(
+            matmul(None, matmul(None, jnp.conj(q).T, h[:m, :m]), q))
+        # A Ṽ_p = Ṽ_p H̃ + β v̂ (e_mᵀ Q): spike row is the *unconjugated* last
+        # row of Q scaled by β
+        spike = h[m, m - 1] * q[m - 1, :]
+        hnew = hnew.at[p, :p].set(spike)
+        v2, h2 = _arnoldi_extend(op, vnew, hnew, p, m)
+        w2, y2, res2 = ritz(v2, h2)
+        done2 = jnp.all(converged_mask(w2[:k], res2[:k]))
+        return v2, h2, it + 1, done2
+
+    w0, y0, res0 = ritz(v, h)
+    done0 = jnp.all(converged_mask(w0[:k], res0[:k]))
+    state = (v, h, jnp.zeros((), jnp.int32), done0)
+    v, h, it, done = jax.lax.while_loop(cond, body, state)
+
+    w, y, res = ritz(v, h)
+    vecs = matmul(None, v[:, :m], y[:, :k])
+    norms = jnp.sqrt(jnp.sum(jnp.abs(vecs).astype(rdt) ** 2, axis=0))
+    vecs = vecs / jnp.where(norms == 0, jnp.ones_like(norms), norms).astype(dtype)[None, :]
+    n_conv = jnp.sum(converged_mask(w[:k], res[:k]))
+    info = PartialEigenInfo(n_converged=n_conv, iterations=it)
+    return w[:k], vecs, info
+
+
+def partial_self_adjoint_eigen(a, k: int, *, v0=None, m: int | None = None,
+                               tol: float | None = None,
+                               max_restarts: int = 1000):
+    """Largest-magnitude k eigenpairs of a self-adjoint LinOp.
+
+    faer ``partial_self_adjoint_eigen`` (``operator/eigen/mod.rs:1341``).
+    Returns ``(w, v, PartialEigenInfo)`` with w real.
+    """
+    op = aslinop(a)
+    n = op.shape[0]
+    m = m or min(max(4 * k, k + 8), n)
+    probe = jnp.ones((n, 1))
+    dtype = op.apply(probe).dtype if v0 is None else v0.dtype
+    tol = tol if tol is not None else 128 * dtypes.eps(dtype)
+    if v0 is None:
+        v0 = jnp.linspace(1.0, 2.0, n).astype(dtype)
+    w, v, info = _partial_eigen_imp(op, v0, k, m, hermitian=True,
+                                    tol=tol, max_restarts=max_restarts)
+    return jnp.real(w), v, info
+
+
+def partial_eigen(a, k: int, *, v0=None, m: int | None = None,
+                  tol: float | None = None, max_restarts: int = 1000):
+    """Largest-magnitude k eigenpairs of a general LinOp (complex output).
+
+    faer ``partial_eigen`` (``operator/eigen/mod.rs:1271``).
+    """
+    op = aslinop(a)
+    n = op.shape[0]
+    m = m or min(max(4 * k, k + 8), n)
+    probe = jnp.ones((n, 1))
+    base_dtype = op.apply(probe).dtype if v0 is None else v0.dtype
+    cdt = dtypes.complex_dtype_of(base_dtype)
+    cop = _ComplexWrap(op, cdt)
+    tol = tol if tol is not None else 128 * dtypes.eps(base_dtype)
+    if v0 is None:
+        v0 = jnp.linspace(1.0, 2.0, n).astype(cdt)
+    else:
+        v0 = v0.astype(cdt)
+    return _partial_eigen_imp(cop, v0, k, m, hermitian=False,
+                              tol=tol, max_restarts=max_restarts)
+
+
+def partial_svd(a, k: int, *, v0=None, m: int | None = None,
+                tol: float | None = None, max_restarts: int = 1000):
+    """Top-k singular triplets of a LinOp (faer ``partial_svd``, ``:1396``).
+
+    Runs the Hermitian Krylov-Schur on AᴴA (Golub-Kahan normal-equations
+    operator); returns ``(s, u, v, info)``.
+    """
+    op = aslinop(a)
+    mdim, ndim = op.shape
+
+    class _AtA:
+        shape = (ndim, ndim)
+
+        @staticmethod
+        def apply(x):
+            return op.adjoint_apply(op.apply(x))
+
+    w, v, info = partial_self_adjoint_eigen(_AtA, k, v0=v0, m=m, tol=tol,
+                                            max_restarts=max_restarts)
+    s = jnp.sqrt(jnp.maximum(w, 0))
+    av = op.apply(v)
+    safe = jnp.where(s == 0, jnp.ones_like(s), s)
+    u = av / safe[None, :].astype(av.dtype)
+    return s, u, v, info

@@ -1,0 +1,90 @@
+"""Matrix-free layer tests: LinOp, CG, BiCGSTAB, LSMR, Krylov-Schur."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from faer_tpu import stats
+from faer_tpu import matrix_free as mf
+from faer_tpu.utils.approx import assert_approx_eq, size_scale
+
+DTYPES = [jnp.float64, jnp.complex128]
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_cg(dtype):
+    n = 60
+    k1, k2 = jax.random.split(jax.random.key(70))
+    a = stats.spd_mat(k1, n, dtype)
+    b = stats.standard_normal_mat(k2, n, 2, dtype)
+    x, info = mf.conjugate_gradient(a, b)
+    assert bool(info.converged)
+    assert_approx_eq(np.asarray(a) @ np.asarray(x), b, scale=size_scale(n) * 512)
+
+    # vector rhs + diag preconditioner
+    pre = mf.DiagLinOp(jnp.real(jnp.diagonal(a)).astype(dtype))
+    xv, info2 = mf.conjugate_gradient(a, b[:, 0], precond=pre)
+    assert bool(info2.converged)
+    assert xv.ndim == 1
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_bicgstab(dtype):
+    n = 50
+    k1, k2 = jax.random.split(jax.random.key(71))
+    a = stats.standard_normal_mat(k1, n, n, dtype) + 5.0 * jnp.eye(n, dtype=dtype)
+    b = stats.standard_normal_mat(k2, n, 2, dtype)
+    x, info = mf.bicgstab(a, b)
+    assert bool(info.converged)
+    assert_approx_eq(np.asarray(a) @ np.asarray(x), b, scale=size_scale(n) * 1024)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float64])
+def test_lsmr(dtype):
+    m, n = 80, 30
+    k1, k2 = jax.random.split(jax.random.key(72))
+    a = stats.standard_normal_mat(k1, m, n, dtype)
+    b = stats.standard_normal_mat(k2, m, 1, dtype)[:, 0]
+    x, info = mf.lsmr(a, b)
+    want, *_ = np.linalg.lstsq(np.asarray(a), np.asarray(b), rcond=None)
+    assert_approx_eq(x, want, scale=size_scale(m) * 4096)
+
+    # matrix-free operator form
+    fn = mf.FnLinOp(lambda v: a @ v, (m, n), adjoint=lambda v: a.T @ v)
+    x2, _ = mf.lsmr(fn, b)
+    assert_approx_eq(x2, want, scale=size_scale(m) * 4096)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_partial_self_adjoint_eigen(dtype):
+    n, k = 80, 4
+    a = stats.self_adjoint_mat(jax.random.key(73), n, dtype)
+    w, v, info = mf.partial_self_adjoint_eigen(a, k)
+    an, vn, wn = np.asarray(a), np.asarray(v), np.asarray(w)
+    wref = np.linalg.eigvalsh(an)
+    top = wref[np.argsort(-np.abs(wref))][:k]
+    assert_approx_eq(np.sort(wn), np.sort(top), scale=size_scale(n) * 256)
+    resid = np.abs(an @ vn - vn * wn[None, :]).max()
+    assert resid < 1e-8 * max(1, np.abs(wn).max())
+
+
+def test_partial_eigen_general():
+    n, k = 60, 3
+    a = stats.standard_normal_mat(jax.random.key(74), n, n, jnp.float64)
+    w, v, info = mf.partial_eigen(a, k)
+    an, vn, wn = np.asarray(a), np.asarray(v), np.asarray(w)
+    resid = np.abs(an @ vn - vn * wn[None, :]).max()
+    assert resid < 1e-7 * max(1, np.abs(wn).max()), resid
+    wref = np.linalg.eigvals(an)
+    top = wref[np.argsort(-np.abs(wref))][:k]
+    assert np.abs(np.sort_complex(top) - np.sort_complex(wn)).max() < 1e-7
+
+
+def test_partial_svd():
+    m, n, k = 70, 40, 3
+    a = stats.standard_normal_mat(jax.random.key(75), m, n, jnp.float64)
+    s, u, v, info = mf.partial_svd(a, k)
+    sref = np.linalg.svd(np.asarray(a), compute_uv=False)[:k]
+    assert_approx_eq(np.sort(np.asarray(s)), np.sort(sref), scale=size_scale(m) * 1024)
+    # A v = s u
+    assert np.abs(np.asarray(a) @ np.asarray(v) - np.asarray(u) * np.asarray(s)[None, :]).max() < 1e-8
