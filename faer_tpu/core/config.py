@@ -42,6 +42,10 @@ class _Config:
         # below this dimension product, skip Pallas and use plain jnp.dot —
         # mirrors faer's nano-gemm dispatch threshold (matmul/mod.rs:16)
         self.small_matmul_threshold: int = 128 ** 3
+        # f32 MXU precision: "high" = bf16x3 passes (error ≈ 1e-5 rel, well
+        # inside faer's 8n·eps test tolerance, ~2.5× faster than bf16x6);
+        # "highest" = full f32 emulation for strict parity runs
+        self.f32_precision: str = os.environ.get("FAER_TPU_F32_PRECISION", "high")
 
     def pallas_enabled(self) -> bool:
         if self.use_pallas is None:

@@ -31,12 +31,17 @@ def _prep(x, conj, transpose):
 
 
 def _precision_for(dtype):
-    """f32 data must multiply at f32 accuracy (faer numerical parity): on TPU
-    that means 3-pass bf16 (``HIGHEST``). bf16 data keeps the fast single pass.
+    """f32 data must multiply at near-f32 accuracy (faer numerical parity):
+    on TPU the default single bf16 pass fails the 8n·eps tolerance, so f32
+    uses bf16x3 (``HIGH``, ~1e-5 rel error) by default or full emulation
+    (``HIGHEST``) when ``config.f32_precision = 'highest'``. bf16 data keeps
+    the fast single pass.
     """
     if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16):
         return None
-    return lax.Precision.HIGHEST
+    if config.f32_precision == "highest":
+        return lax.Precision.HIGHEST
+    return lax.Precision.HIGH
 
 
 def _xla_matmul(a, b):

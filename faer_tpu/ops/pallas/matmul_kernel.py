@@ -22,10 +22,29 @@ def _mm_kernel(a_ref, b_ref, o_ref, acc_ref, *, nk: int):
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += jnp.dot(
-        a_ref[:], b_ref[:], preferred_element_type=jnp.float32,
-        precision=(None if a_ref.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST),
-    )
+    from faer_tpu.core.config import config
+
+    if a_ref.dtype == jnp.bfloat16:
+        acc_ref[:] += jnp.dot(a_ref[:], b_ref[:],
+                              preferred_element_type=jnp.float32)
+    elif config.f32_precision == "highest":
+        acc_ref[:] += jnp.dot(a_ref[:], b_ref[:],
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+    else:
+        # bf16x3: Mosaic rejects Precision.HIGH, so split each f32 operand
+        # into bf16 hi+lo (a = ah + al exactly to ~16 extra mantissa bits)
+        # and take three MXU passes: ah·bh + ah·bl + al·bh
+        a = a_ref[:]
+        b = b_ref[:]
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bh = b.astype(jnp.bfloat16)
+        bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = jnp.dot(ah, bh, preferred_element_type=jnp.float32)
+        acc += jnp.dot(ah, bl, preferred_element_type=jnp.float32)
+        acc += jnp.dot(al, bh, preferred_element_type=jnp.float32)
+        acc_ref[:] += acc
 
     @pl.when(pl.program_id(2) == nk - 1)
     def _store():

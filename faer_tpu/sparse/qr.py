@@ -1,0 +1,80 @@
+"""Sparse QR (R-factor via normal equations + corrected semi-normal solve).
+
+Reference parity target: ``faer/src/sparse/linalg/qr.rs`` — symbolic from the
+cholesky of AᵀA (``factorize_symbolic_qr`` ``:2353``), supernodal Householder
+(``:305``), simplicial (``:1388``).
+
+Round-1 implementation note: the R factor is computed as the sparse Cholesky
+factor of AᵀA (same R as Householder QR up to signs), and least-squares solves
+use **corrected semi-normal equations** (CSNE: one step of iterative
+refinement), the standard sparse-QR-lite with accuracy adequate for
+moderately-conditioned systems. The supernodal Householder numeric path is the
+planned upgrade.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from faer_tpu.sparse import cholesky as sch
+from faer_tpu.sparse.csc import SparseCscMat
+from faer_tpu.sparse.matmul import sparse_dense_matmul, sparse_sparse_matmul
+
+
+@dataclasses.dataclass
+class SparseQr:
+    nrows: int
+    ncols: int
+    symb: sch.SymbolicCholesky
+    r_factor: SparseCscMat   # L of AᵀA: R = Lᵀ (permuted coordinates)
+    a: SparseCscMat
+
+
+def _ata_lower(a: SparseCscMat) -> SparseCscMat:
+    at = a.adjoint()
+    ata = sparse_sparse_matmul(at, a)
+    # keep lower triangle
+    s = ata.symbolic
+    rows, cols, vals = [], [], []
+    for j in range(s.ncols):
+        r = s.col_range(j)
+        for t in range(r.start, r.stop):
+            i = int(s.row_idx[t])
+            if i >= j:
+                rows.append(i)
+                cols.append(j)
+                vals.append(ata.values[t])
+    return SparseCscMat.from_triplets(s.nrows, s.ncols, np.array(rows),
+                                      np.array(cols), np.array(vals))
+
+
+def factorize_symbolic_qr(a_sym):
+    """Symbolic QR = symbolic cholesky of the AᵀA pattern (``qr.rs:2353``)."""
+    a = SparseCscMat(a_sym, np.ones(a_sym.nnz))
+    ata = _ata_lower(a)
+    return sch.factorize_symbolic_cholesky(ata.symbolic)
+
+
+def factorize_numeric_qr(a: SparseCscMat, symb=None) -> SparseQr:
+    ata = _ata_lower(a)
+    if symb is None:
+        symb = sch.factorize_symbolic_cholesky(ata.symbolic)
+    l = sch.factorize_numeric_llt(symb, ata)
+    return SparseQr(nrows=a.nrows, ncols=a.ncols, symb=symb, r_factor=l, a=a)
+
+
+def qr_solve_lstsq(f: SparseQr, b):
+    """min ‖Ax − b‖ via CSNE with one refinement step."""
+    b = np.asarray(b)
+    squeeze = b.ndim == 1
+    b2 = b[:, None] if squeeze else b
+
+    def seminormal(rhs):
+        atb = sparse_dense_matmul(f.a.adjoint(), rhs)
+        return sch.llt_solve(f.symb, f.r_factor, np.asarray(atb))
+
+    x = seminormal(b2)
+    r = b2 - np.asarray(sparse_dense_matmul(f.a, x))
+    x = x + seminormal(r)
+    return x[:, 0] if squeeze else x

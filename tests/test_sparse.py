@@ -1,0 +1,177 @@
+"""Sparse module tests: containers, ops, matmul, tri-solve, orderings,
+Cholesky/LU/QR, high-level solvers. Oracle: scipy.sparse + numpy."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from faer_tpu.sparse import (
+    SparseCscMat,
+    SparseCsrMat,
+    amd,
+    cholesky as sch,
+    colamd,
+    lu as slu,
+    matmul as smm,
+    ops as sops,
+    qr as sqr,
+    solvers as ssol,
+    triangular_solve as sts,
+)
+
+
+def _rand_sparse(rng, m, n, density=0.1, dtype=np.float64, spd=False):
+    a = sp.random(m, n, density=density, random_state=rng, dtype=np.float64).toarray()
+    if dtype in (np.complex128,):
+        a = a + 1j * sp.random(m, n, density=density, random_state=rng).toarray()
+    a = a.astype(dtype)
+    if spd:
+        a = a @ np.conj(a).T + np.eye(m) * (1.0 + m * 0.05)
+    return a
+
+
+def test_csc_roundtrip_and_triplets(rng):
+    a = _rand_sparse(rng, 20, 15, 0.2)
+    m = SparseCscMat.from_dense(a)
+    np.testing.assert_allclose(m.to_dense(), a)
+    # duplicate accumulation
+    m2 = SparseCscMat.from_triplets(3, 3, [0, 0, 1], [0, 0, 2], [1.0, 2.0, 5.0])
+    want = np.zeros((3, 3))
+    want[0, 0] = 3.0
+    want[1, 2] = 5.0
+    np.testing.assert_allclose(m2.to_dense(), want)
+    # transpose / adjoint
+    c = _rand_sparse(rng, 10, 8, 0.3, np.complex128)
+    mc = SparseCscMat.from_dense(c)
+    np.testing.assert_allclose(mc.transpose().to_dense(), c.T)
+    np.testing.assert_allclose(mc.adjoint().to_dense(), np.conj(c).T)
+
+
+def test_csr(rng):
+    a = _rand_sparse(rng, 12, 9, 0.25)
+    m = SparseCsrMat.from_dense(a)
+    np.testing.assert_allclose(m.to_dense(), a)
+    np.testing.assert_allclose(m.to_csc().to_dense(), a)
+
+
+def test_sparse_ops(rng):
+    a = _rand_sparse(rng, 10, 10, 0.2)
+    b = _rand_sparse(rng, 10, 10, 0.2)
+    ma, mb = SparseCscMat.from_dense(a), SparseCscMat.from_dense(b)
+    np.testing.assert_allclose((ma + mb).to_dense(), a + b)
+    np.testing.assert_allclose((ma - mb).to_dense(), a - b)
+    np.testing.assert_allclose((2.5 * ma).to_dense(), 2.5 * a)
+
+
+def test_sparse_matmul(rng):
+    a = _rand_sparse(rng, 15, 12, 0.2)
+    b = _rand_sparse(rng, 12, 9, 0.3)
+    ma, mb = SparseCscMat.from_dense(a), SparseCscMat.from_dense(b)
+    np.testing.assert_allclose((ma @ mb).to_dense(), a @ b, atol=1e-12)
+    x = np.asarray(rng.standard_normal((12, 4)))
+    np.testing.assert_allclose(smm.sparse_dense_matmul(ma, x), a @ x, atol=1e-12)
+    y = np.asarray(rng.standard_normal((5, 15)))
+    np.testing.assert_allclose(smm.dense_sparse_matmul(y, ma), y @ a, atol=1e-12)
+
+
+def test_sparse_matmul_device(rng):
+    import jax.numpy as jnp
+
+    a = _rand_sparse(rng, 15, 12, 0.2)
+    ma = SparseCscMat.from_dense(a)
+    x = jnp.asarray(rng.standard_normal((12, 4)))
+    got = smm.sparse_dense_matmul(ma, x)
+    np.testing.assert_allclose(np.asarray(got), a @ np.asarray(x), atol=1e-10)
+
+
+def test_triangular_solves(rng):
+    n = 25
+    a = _rand_sparse(rng, n, n, 0.2)
+    l = np.tril(a, -1) * 0.3 + np.eye(n) * 2.0
+    ml = SparseCscMat.from_dense(l)
+    b = np.asarray(rng.standard_normal((n, 2)))
+    np.testing.assert_allclose(l @ sts.solve_lower_triangular(ml, b), b, atol=1e-10)
+    u = np.triu(a, 1) * 0.3 + np.eye(n) * 2.0
+    mu = SparseCscMat.from_dense(u)
+    np.testing.assert_allclose(u @ sts.solve_upper_triangular(mu, b), b, atol=1e-10)
+    np.testing.assert_allclose(l.T @ sts.solve_lower_triangular_transpose(ml, b), b, atol=1e-10)
+    np.testing.assert_allclose(u.T @ sts.solve_upper_triangular_transpose(mu, b), b, atol=1e-10)
+    # unit variants
+    lu_ = np.tril(a, -1) * 0.3
+    mlu = SparseCscMat.from_dense(lu_ + np.eye(n))  # diag stored
+    np.testing.assert_allclose((lu_ + np.eye(n)) @ sts.solve_lower_triangular(mlu, b, unit=True), b, atol=1e-10)
+
+
+def test_amd_reduces_fill(rng):
+    # arrow matrix: natural order fills completely, AMD should put hub last
+    n = 30
+    a = np.eye(n) * 4.0
+    a[0, :] = 1.0
+    a[:, 0] = 1.0
+    lower = np.tril(a)
+    m = SparseCscMat.from_dense(lower)
+    perm, flops = amd.order(m.symbolic)
+    # the hub must end up in the final clique (last two positions — the order
+    # of the last two nodes of a clique is irrelevant for fill)
+    assert 0 in perm[-2:], f"hub should be ordered last, got {perm}"
+    assert flops.n_div > 0
+    # fill under AMD must be near-linear: nnz(L) ≈ 2n, natural order would be n²/2
+    from faer_tpu.sparse import cholesky as sch_
+    symb = sch_.factorize_symbolic_cholesky(m.symbolic)
+    assert symb.col_counts.sum() <= 3 * n
+
+
+def test_sparse_cholesky(rng):
+    n = 40
+    a = _rand_sparse(rng, n, n, 0.08, spd=True)
+    lower = SparseCscMat.from_dense(np.tril(a))
+    symb = sch.factorize_symbolic_cholesky(lower.symbolic)
+    l = sch.factorize_numeric_llt(symb, lower)
+    # check P A Pᵀ = L Lᴴ
+    ld = l.to_dense()
+    papt = a[symb.perm][:, symb.perm]
+    np.testing.assert_allclose(ld @ ld.T, papt, atol=1e-8)
+    b = np.asarray(rng.standard_normal((n, 3)))
+    x = sch.llt_solve(symb, l, b)
+    np.testing.assert_allclose(a @ x, b, atol=1e-8)
+    # symbolic reuse with new values
+    a2 = a + np.eye(n)
+    l2 = sch.factorize_numeric_llt(symb, SparseCscMat.from_dense(np.tril(a2)))
+    x2 = sch.llt_solve(symb, l2, b)
+    np.testing.assert_allclose(a2 @ x2, b, atol=1e-8)
+    # high-level object
+    f = ssol.Llt.new(lower)
+    np.testing.assert_allclose(a @ f.solve(b), b, atol=1e-8)
+
+
+def test_sparse_cholesky_complex(rng):
+    n = 20
+    a = _rand_sparse(rng, n, n, 0.15, np.complex128, spd=True)
+    lower = SparseCscMat.from_dense(np.tril(a))
+    f = ssol.Llt.new(lower)
+    b = np.asarray(rng.standard_normal((n, 2))) + 1j * rng.standard_normal((n, 2))
+    np.testing.assert_allclose(a @ f.solve(b), b, atol=1e-8)
+
+
+def test_sparse_lu(rng):
+    n = 35
+    a = _rand_sparse(rng, n, n, 0.12) + np.eye(n) * 3.0
+    m = SparseCscMat.from_dense(a)
+    f = ssol.Lu.new(m)
+    b = np.asarray(rng.standard_normal((n, 2)))
+    np.testing.assert_allclose(a @ f.solve(b), b, atol=1e-8)
+    # reconstruction: A[p][:, q] = L U
+    lu_f = f.f
+    ld, ud = lu_f.l.to_dense(), lu_f.u.to_dense()
+    np.testing.assert_allclose(a[lu_f.row_perm][:, lu_f.col_perm], ld @ ud, atol=1e-8)
+
+
+def test_sparse_qr_lstsq(rng):
+    m, n = 50, 20
+    a = _rand_sparse(rng, m, n, 0.15)
+    a[np.arange(n), np.arange(n)] += 2.0  # full column rank
+    ma = SparseCscMat.from_dense(a)
+    f = ssol.Qr.new(ma)
+    b = np.asarray(rng.standard_normal(m))
+    x = f.solve_lstsq(b)
+    want, *_ = np.linalg.lstsq(a, b, rcond=None)
+    np.testing.assert_allclose(x, want, atol=1e-6)
