@@ -1,0 +1,87 @@
+"""IO, stats mean/var, and double-double tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from faer_tpu import stats
+from faer_tpu.core.flags import NanHandling
+from faer_tpu import io as fio
+from faer_tpu.utils import doubledouble as dd
+
+
+def test_npy_roundtrip(tmp_path, rng):
+    a = rng.standard_normal((7, 5))
+    p = tmp_path / "a.npy"
+    fio.save_npy(p, a)
+    np.testing.assert_array_equal(fio.load_npy(p), a)
+
+
+def test_matrix_market_roundtrip(tmp_path, rng):
+    from faer_tpu.sparse import SparseCscMat
+    import scipy.sparse as sp
+
+    a = sp.random(12, 9, density=0.3, random_state=rng).toarray()
+    m = SparseCscMat.from_dense(a)
+    p = tmp_path / "m.mtx"
+    fio.save_matrix_market(p, m)
+    m2 = fio.load_matrix_market(p)
+    np.testing.assert_allclose(m2.to_dense(), a)
+
+
+def test_matrix_market_symmetric(tmp_path):
+    p = tmp_path / "s.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "3 3 4\n"
+        "1 1 2.0\n2 1 1.5\n3 3 4.0\n3 2 -1.0\n"
+    )
+    m = fio.load_matrix_market(p)
+    want = np.array([[2.0, 1.5, 0], [1.5, 0, -1.0], [0, -1.0, 4.0]])
+    np.testing.assert_allclose(m.to_dense(), want)
+
+
+def test_stats_meanvar():
+    a = jnp.asarray(np.arange(12, dtype=np.float64).reshape(3, 4))
+    np.testing.assert_allclose(stats.col_mean(a), np.mean(np.asarray(a), axis=1))
+    np.testing.assert_allclose(stats.row_mean(a), np.mean(np.asarray(a), axis=0))
+    np.testing.assert_allclose(stats.col_varm(a), np.var(np.asarray(a), axis=1, ddof=1))
+    np.testing.assert_allclose(stats.row_varm(a), np.var(np.asarray(a), axis=0, ddof=1))
+    # NaN handling
+    b = a.at[0, 0].set(jnp.nan)
+    assert np.isnan(float(stats.col_mean(b)[0]))
+    got = stats.col_mean(b, nan=NanHandling.IGNORE)
+    np.testing.assert_allclose(got[0], np.nanmean(np.asarray(b)[0]))
+
+
+def test_unitary_haar():
+    q = stats.unitary_mat(jax.random.key(1), 16, jnp.complex128)
+    qn = np.asarray(q)
+    np.testing.assert_allclose(np.conj(qn).T @ qn, np.eye(16), atol=1e-12)
+
+
+def test_doubledouble_arithmetic(rng):
+    x = rng.standard_normal(100)
+    y = rng.standard_normal(100) * 3.0
+    a = dd.from_f64(x)
+    b = dd.from_f64(y)
+    # f32 pairs give ~2^-48 relative accuracy, far beyond single f32 2^-24
+    scale = np.maximum(np.abs(x), np.abs(y))  # cancellation-aware scaling
+    for op, ref in [(dd.add, x + y), (dd.sub, x - y), (dd.mul, x * y), (dd.div, x / y)]:
+        got = dd.to_f64(op(a, b))
+        rel = np.abs(got - ref) / np.maximum(np.abs(ref), scale)
+        assert rel.max() < 1e-13, (op.__name__, rel.max())
+    s = dd.to_f64(dd.sqrt(dd.from_f64(np.abs(x))))
+    assert np.abs(s - np.sqrt(np.abs(x))).max() < 1e-13
+
+
+def test_doubledouble_matmul(rng):
+    x = rng.standard_normal((20, 30))
+    y = rng.standard_normal((30, 10))
+    got = dd.to_f64(dd.matmul_dd(dd.from_f64(x), dd.from_f64(y)))
+    rel = np.abs(got - x @ y) / np.maximum(np.abs(x @ y), 1e-30)
+    # On TPU this reaches ~1e-14; the CPU backend's LLVM pipeline contracts
+    # across the fused EFTs at default opt level (see doubledouble docstring),
+    # so the CPU bound only certifies better-than-f32 behavior.
+    bound = 1e-11 if jax.default_backend() == "tpu" else 5e-6
+    assert rel.max() < bound
