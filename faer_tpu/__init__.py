@@ -8,6 +8,7 @@ the repo root for the structural map to the reference.
 """
 from faer_tpu.core.flags import Accum, BlockStructure, Conj, NanHandling, Norm, Par, Side
 from faer_tpu.core.mat import Mat, Scale
+from faer_tpu.core.vec import Col, Diag, Row
 from faer_tpu.core import dtypes, params, perm
 from faer_tpu.core.config import (
     config,
@@ -26,7 +27,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Accum", "BlockStructure", "Conj", "NanHandling", "Norm", "Par", "Side",
-    "Mat", "Scale", "dtypes", "params", "perm", "config",
+    "Mat", "Scale", "Col", "Row", "Diag", "dtypes", "params", "perm", "config",
     "set_global_parallelism", "get_global_parallelism",
     "FaerError", "NonPositivePivotError", "NoConvergenceError",
     "SingularMatrixError", "ShapeError",

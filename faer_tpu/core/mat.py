@@ -188,6 +188,11 @@ class Mat:
 
         return solvers.Ldlt.new(self.a, side)
 
+    def piv_llt(self, side: Side = Side.LOWER):
+        from faer_tpu.linalg import solvers
+
+        return solvers.PivLlt.new(self.a, side)
+
     def lblt(self, side: Side = Side.LOWER):
         from faer_tpu.linalg import solvers
 

@@ -31,6 +31,7 @@ from faer_tpu.core.params import (
     LltRegularization,
 )
 from faer_tpu.ops.matmul import matmul
+from faer_tpu.ops.triangular import invert_lower_triangular
 from faer_tpu.ops.triangular_solve import (
     solve_lower_triangular,
     solve_lower_triangular_adjoint,
@@ -69,6 +70,22 @@ def _panel_llt(a, reg: LltRegularization):
     return jnp.tril(a), count, ok
 
 
+def _llt_panel_recursive(a, reg: LltRegularization, base: int):
+    """Two-level LLT of a (b, b) block: fori base case + GEMM recursion."""
+    b = a.shape[0]
+    if b <= base:
+        return _panel_llt(a, reg)
+    h = (b + 1) // 2
+    d1, c1, o1 = _llt_panel_recursive(a[:h, :h], reg, base)
+    l1inv = invert_lower_triangular(d1, base=h)
+    l21 = matmul(None, a[h:, :h], jnp.conj(l1inv).T)
+    a22 = a[h:, h:] - matmul(None, l21, jnp.conj(l21).T)
+    d2, c2, o2 = _llt_panel_recursive(a22, reg, base)
+    out = jnp.zeros_like(a)
+    out = out.at[:h, :h].set(d1).at[h:, :h].set(l21).at[h:, h:].set(d2)
+    return out, c1 + c2, o1 & o2
+
+
 @functools.partial(jax.jit, static_argnames=("reg", "params"))
 def llt_factor(a, *, reg: LltRegularization | None = None,
                params: LltParams | None = None):
@@ -76,36 +93,30 @@ def llt_factor(a, *, reg: LltRegularization | None = None,
 
     faer ``cholesky_in_place`` (``llt/factor.rs:67``) →
     ``cholesky_block_left_looking`` (``ldlt/factor.rs:499``); here right-looking
-    so the trailing update is one exact-size GEMM per panel.
+    so the trailing update is one exact-size GEMM per panel. The panel factor
+    recurses to a small fori base; the panel TRSM is one GEMM against the
+    panel's explicit triangular inverse (matmul-only TRTRI) — all heavy work
+    on the MXU, all matrix writes in-place slice updates.
     """
     params = params or LltParams.auto(a.dtype, a.shape)
     reg = reg or LltRegularization()
     n = a.shape[0]
     block = params.block_size or (256 if n >= 1024 else 64 if n >= 128 else n)
+    base = min(params.recursion_threshold, block)
     count = jnp.zeros((), jnp.int32)
     ok = jnp.ones((), jnp.bool_)
-    a = jnp.tril(a)
 
     for k in range(0, n, block):
         bw = min(block, n - k)
-        d, c, o = _panel_llt(a[k:k + bw, k:k + bw], reg)
+        d, c, o = _llt_panel_recursive(a[k:k + bw, k:k + bw], reg, base)
         count, ok = count + c, ok & o
+        a = jax.lax.dynamic_update_slice(a, d, (k, k))
         if k + bw < n:
-            # L21 L11ᴴ = A21  ⇔  L11 (L21ᴴ) = A21ᴴ → one lower solve
-            a21 = a[k + bw:, k:k + bw]
-            l21 = jnp.conj(solve_lower_triangular(d, jnp.conj(a21).T)).T
-            a22 = a[k + bw:, k + bw:] - jnp.tril(matmul(None, l21, jnp.conj(l21).T))
-            left = a[k + bw:, :k]
-            a = jnp.concatenate([
-                a[:k],
-                jnp.concatenate([a[k:k + bw, :k], d, jnp.zeros((bw, n - k - bw), a.dtype)], axis=1),
-                jnp.concatenate([left, l21, a22], axis=1),
-            ], axis=0)
-        else:
-            a = jnp.concatenate([
-                a[:k],
-                jnp.concatenate([a[k:, :k], d], axis=1),
-            ], axis=0)
+            linv = invert_lower_triangular(d, base=bw)
+            l21 = matmul(None, a[k + bw:, k:k + bw], jnp.conj(linv).T)
+            a22 = a[k + bw:, k + bw:] - matmul(None, l21, jnp.conj(l21).T)
+            a = jax.lax.dynamic_update_slice(a, l21, (k + bw, k))
+            a = jax.lax.dynamic_update_slice(a, a22, (k + bw, k + bw))
 
     return jnp.tril(a), LltInfo(dynamic_regularization_count=count, success=ok)
 

@@ -28,6 +28,7 @@ from faer_tpu.core import dtypes, perm as permod
 from faer_tpu.core.errors import LuInfo
 from faer_tpu.core.params import FullPivLuParams, PartialPivLuParams
 from faer_tpu.ops.matmul import matmul
+from faer_tpu.ops.triangular import invert_lower_triangular
 from faer_tpu.ops.triangular_solve import solve_unit_lower_triangular, solve_upper_triangular
 
 
@@ -76,45 +77,76 @@ def _panel_lu(panel):
     return a, perm, nt, ok
 
 
+def _panel_lu_blocked(panel, base: int):
+    """Two-level panel LU: recursive column-halving down to a fori base.
+
+    The base case touches the whole panel per eliminated column (VPU/HBM
+    bound); halving the width halves that traffic per level while the
+    inter-half coupling becomes a unit-TRSM (via matmul-only inverse) + GEMM
+    on the MXU. Returns (packed, perm, n_transpositions, ok).
+    """
+    m, b = panel.shape
+    if b <= base:
+        return _panel_lu(panel)
+    h = (b + 1) // 2
+    left, perm1, nt1, ok1 = _panel_lu_blocked(panel[:, :h], base)
+    right = jnp.take(panel[:, h:], perm1, axis=0)
+    l11 = jnp.tril(left[:h, :h], -1) + jnp.eye(h, dtype=panel.dtype)
+    l11_inv = invert_lower_triangular(l11, unit=True, base=h)
+    u12 = matmul(None, l11_inv, right[:h])
+    r2 = right[h:] - matmul(None, left[h:, :h], u12)
+    bot, perm2, nt2, ok2 = _panel_lu_blocked(r2, base)
+    left_bot = jnp.take(left[h:, :], perm2, axis=0)
+    out = jnp.zeros_like(panel)
+    out = out.at[:h, :h].set(left[:h, :])
+    out = out.at[h:, :h].set(left_bot)
+    out = out.at[:h, h:].set(u12)
+    out = out.at[h:, h:].set(bot)
+    perm = jnp.concatenate([perm1[:h], jnp.take(perm1[h:], perm2)])
+    return out, perm, nt1 + nt2, ok1 & ok2
+
+
 @functools.partial(jax.jit, static_argnames=("params",))
 def lu_in_place(a, params: PartialPivLuParams | None = None):
     """Blocked partial-pivot LU: returns ``(lu, row_perm, info)``.
 
     ``lu`` packs unit-lower L (strict) and U; ``row_perm`` satisfies
     ``A[row_perm, :] = L @ U``. faer ``lu_in_place``
-    (``lu/partial_pivoting/factor.rs:234``).
+    (``lu/partial_pivoting/factor.rs:234``). Panels factor recursively
+    (``_panel_lu_blocked``); the U12 solve is one GEMM against the unit-lower
+    panel inverse; matrix writes are in-place slice updates.
     """
     params = params or PartialPivLuParams.auto(a.dtype, a.shape)
     m, n = a.shape
     kmax = min(m, n)
     block = params.block_size or (256 if kmax >= 1024 else 64 if kmax >= 128 else kmax)
+    base = min(params.recursion_threshold, block)
     perm = jnp.arange(m, dtype=jnp.int32)
     nt = jnp.zeros((), jnp.int32)
     ok = jnp.ones((), jnp.bool_)
 
     for k in range(0, kmax, block):
         bw = min(block, kmax - k)
-        panel, local_perm, pnt, pok = _panel_lu(a[k:, k:k + bw])
+        panel, local_perm, pnt, pok = _panel_lu_blocked(a[k:, k:k + bw], base)
         nt = nt + pnt
         ok = ok & pok
+        a = jax.lax.dynamic_update_slice(a, panel, (k, k))
         # apply the panel's row permutation to the rest of the matrix + perm
-        left = jnp.take(a[k:, :k], local_perm, axis=0) if k > 0 else a[k:, :k]
-        right = (
-            jnp.take(a[k:, k + bw:], local_perm, axis=0)
-            if k + bw < n else a[k:, k + bw:]
-        )
+        if k > 0:
+            a = jax.lax.dynamic_update_slice(
+                a, jnp.take(a[k:, :k], local_perm, axis=0), (k, 0))
         perm = perm.at[k:].set(jnp.take(perm[k:], local_perm))
-        # solve U12 and update trailing block
         if k + bw < n:
-            l11 = panel[:bw, :bw]
-            u12 = solve_unit_lower_triangular(l11, right[:bw])
+            right = jnp.take(a[k:, k + bw:], local_perm, axis=0)
+            l11 = jnp.tril(panel[:bw, :bw], -1) + jnp.eye(bw, dtype=a.dtype)
+            u12 = matmul(None, invert_lower_triangular(l11, unit=True, base=bw),
+                         right[:bw])
             a22 = right[bw:]
             if m - k - bw > 0:
                 a22 = a22 - matmul(None, panel[bw:, :bw], u12)
-            right = jnp.concatenate([u12, a22], axis=0)
-        a = jnp.concatenate(
-            [a[:k], jnp.concatenate([left, panel, right], axis=1)], axis=0
-        )
+            a = jax.lax.dynamic_update_slice(a, u12, (k, k + bw))
+            if m - k - bw > 0:
+                a = jax.lax.dynamic_update_slice(a, a22, (k + bw, k + bw))
 
     info = LuInfo(transposition_count=nt, success=ok)
     return a, perm, info

@@ -115,26 +115,44 @@ def qr_in_place(a, params: QrParams | None = None):
     return packed, ts, block
 
 
+def _panel_qr_blocked(panel, base: int):
+    """Two-level panel QR: recursive column-halving to the fori base; the
+    inter-half coupling is one compact-WY block apply (two GEMMs)."""
+    m, b = panel.shape
+    if b <= base or m <= base:
+        return _panel_qr(panel)
+    h = (b + 1) // 2
+    left, taus1 = _panel_qr_blocked(panel[:, :h], base)
+    v1 = _extract_v(left, h)
+    t1 = form_block_t(v1, taus1)
+    right = apply_block_on_left(v1, t1, panel[:, h:], adjoint=True)
+    bot, taus2 = _panel_qr_blocked(right[h:], base)
+    out = jnp.zeros_like(panel)
+    out = out.at[:, :h].set(left)
+    out = out.at[:h, h:].set(right[:h])
+    out = out.at[h:, h:].set(bot)
+    return out, jnp.concatenate([taus1, taus2])
+
+
 @functools.partial(jax.jit, static_argnames=("params",))
 def _qr_in_place_impl(a, params: QrParams):
     m, n = a.shape
     kmax = min(m, n)
     block = _qr_block(kmax, params)
+    base = 32
     t_stack = []
 
     for k in range(0, kmax, block):
         bw = min(block, kmax - k)
-        panel, taus = _panel_qr(a[k:, k:k + bw])
+        panel, taus = _panel_qr_blocked(a[k:, k:k + bw], base)
         v = _extract_v(panel, bw)
         t = form_block_t(v, taus)
         t_pad = t if bw == block else jnp.zeros((block, block), a.dtype).at[:bw, :bw].set(t)
         t_stack.append(t_pad)
-        right = a[k:, k + bw:]
-        if right.shape[1] > 0:
-            right = apply_block_on_left(v, t, right, adjoint=True)
-        a = jnp.concatenate(
-            [a[:k], jnp.concatenate([a[k:, :k], panel, right], axis=1)], axis=0
-        )
+        a = jax.lax.dynamic_update_slice(a, panel, (k, k))
+        if k + bw < n:
+            right = apply_block_on_left(v, t, a[k:, k + bw:], adjoint=True)
+            a = jax.lax.dynamic_update_slice(a, right, (k, k + bw))
 
     return a, jnp.stack(t_stack)
 

@@ -1,0 +1,90 @@
+"""Native host library loader (C++ sparse symbolic kernels).
+
+Builds ``libfaer_sparse_symbolic.so`` on first use (g++ via the Makefile) and
+exposes it through ctypes. All callers fall back to the pure-Python reference
+implementations when the toolchain is unavailable.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, "libfaer_sparse_symbolic.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("FAER_TPU_NO_NATIVE"):
+            return None
+        try:
+            if not os.path.exists(_LIB_PATH) or (
+                os.path.getmtime(_LIB_PATH)
+                < os.path.getmtime(os.path.join(_HERE, "sparse_symbolic.cpp"))
+            ):
+                subprocess.run(["make", "-C", _HERE], check=True,
+                               capture_output=True, timeout=120)
+            lib = ctypes.CDLL(_LIB_PATH)
+        except Exception:
+            return None
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.faer_etree.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
+        lib.faer_col_counts.argtypes = [ctypes.c_int64, i64p, i64p, i64p, i64p]
+        lib.faer_l_pattern.argtypes = [ctypes.c_int64, i64p, i64p, i64p, i64p, i64p]
+        lib.faer_amd_order.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def etree(n: int, col_ptr: np.ndarray, row_idx: np.ndarray):
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(n, dtype=np.int64)
+    lib.faer_etree(n, np.ascontiguousarray(col_ptr, np.int64),
+                   np.ascontiguousarray(row_idx, np.int64), out)
+    return out
+
+
+def l_pattern(n: int, col_ptr: np.ndarray, row_idx: np.ndarray,
+              parent: np.ndarray):
+    """Returns (lptr, lrows) — the full symbolic L structure."""
+    lib = _load()
+    if lib is None:
+        return None
+    cp = np.ascontiguousarray(col_ptr, np.int64)
+    ri = np.ascontiguousarray(row_idx, np.int64)
+    pa = np.ascontiguousarray(parent, np.int64)
+    counts = np.empty(n, dtype=np.int64)
+    lib.faer_col_counts(n, cp, ri, pa, counts)
+    lptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=lptr[1:])
+    lrows = np.empty(int(lptr[-1]), dtype=np.int64)
+    lib.faer_l_pattern(n, cp, ri, pa, lptr, lrows)
+    # rows within a column arrive in increasing i already (diagonal first)
+    return lptr, lrows
+
+
+def amd_order(n: int, col_ptr: np.ndarray, row_idx: np.ndarray):
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(n, dtype=np.int64)
+    lib.faer_amd_order(n, np.ascontiguousarray(col_ptr, np.int64),
+                       np.ascontiguousarray(row_idx, np.int64), out)
+    return out

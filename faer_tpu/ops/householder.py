@@ -72,7 +72,7 @@ def form_block_t(v, tau):
     gram = matmul(None, jnp.conj(v).T, v)
     tau_safe = jnp.where(tau == 0, jnp.ones_like(tau), tau)
     tinv = jnp.triu(gram, k=1) + jnp.diag(1.0 / tau_safe)
-    t = invert_upper_triangular(tinv)
+    t = invert_upper_triangular(tinv, base=tinv.shape[0])
     # zero out rows/cols of identity reflectors
     live = (tau != 0).astype(dtype)
     t = t * live[None, :] * live[:, None]

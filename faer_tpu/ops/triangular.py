@@ -126,28 +126,32 @@ def _inv_lower_base(t, unit: bool):
     return jnp.tril(s)
 
 
-def invert_lower_triangular(t, *, unit: bool = False):
+def invert_lower_triangular(t, *, unit: bool = False, base: int | None = None):
     """inv(L) for lower-triangular L — recursive blocked TRTRI.
 
     faer ``invert_lower_triangular`` (``triangular_inverse.rs:124``).
+    ``base`` sets the matmul-only doubling base size: larger bases trade a few
+    extra MXU FLOPs for far fewer kernel launches (latency-bound on TPU) —
+    panel-sized inverses inside the factorizations use ``base = n``.
     """
     n = t.shape[0]
-    if n <= _BASE:
+    base = base or _BASE
+    if n <= base:
         return _inv_lower_base(t, unit)
     h = (n + 1) // 2
     a, c = t[:h, :h], t[h:, h:]
     b = t[h:, :h]
-    ai = invert_lower_triangular(a, unit=unit)
-    ci = invert_lower_triangular(c, unit=unit)
+    ai = invert_lower_triangular(a, unit=unit, base=base)
+    ci = invert_lower_triangular(c, unit=unit, base=base)
     off = -matmul(None, matmul(None, ci, b), ai)
     top = jnp.concatenate([ai, jnp.zeros((h, n - h), dtype=t.dtype)], axis=1)
     bot = jnp.concatenate([off, ci], axis=1)
     return jnp.concatenate([top, bot], axis=0)
 
 
-def invert_upper_triangular(t, *, unit: bool = False):
+def invert_upper_triangular(t, *, unit: bool = False, base: int | None = None):
     """inv(U) for upper-triangular U (``triangular_inverse.rs:160``)."""
-    return invert_lower_triangular(t.T, unit=unit).T
+    return invert_lower_triangular(t.T, unit=unit, base=base).T
 
 
 def invert_unit_lower_triangular(t):

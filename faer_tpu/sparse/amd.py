@@ -49,14 +49,45 @@ def _symmetrize_pattern(sym: SymbolicSparseCsc) -> list[set]:
     return adj
 
 
+def _flop_count_for(sym: SymbolicSparseCsc, perm: np.ndarray) -> FlopCount:
+    """Exact factorization cost under ``perm`` from the symbolic L column
+    counts (faer reports the same quantities from the elimination)."""
+    from faer_tpu.sparse import cholesky as _sch
+    from faer_tpu.sparse.csc import SparseCscMat, permute_self_adjoint
+
+    a_perm = permute_self_adjoint(SparseCscMat(sym, np.ones(sym.nnz)), perm)
+    parent = _sch.elimination_tree(a_perm.symbolic)
+    from faer_tpu import native
+
+    nat = native.l_pattern(sym.ncols, a_perm.symbolic.col_ptr,
+                           a_perm.symbolic.row_idx, parent)
+    if nat is None:
+        pats = _sch._column_patterns(a_perm.symbolic, parent)
+        counts = np.array([len(p) for p in pats], dtype=np.int64)
+    else:
+        counts = np.diff(nat[0])
+    d = counts.astype(np.float64) - 1.0  # off-diagonal count per column
+    return FlopCount(
+        n_div=float(d.sum()),
+        n_mult_subtract_ldl=float((d * (d + 1) / 2).sum()),
+        n_mult_subtract_lu=float((d * d).sum()),
+    )
+
+
 def order(sym: SymbolicSparseCsc, control: Control | None = None):
     """Fill-reducing permutation for a symmetric pattern.
 
     Returns ``(perm, FlopCount)`` with ``perm`` such that factorizing
     ``A[perm][:, perm]`` has reduced fill. faer ``amd::order`` (``amd.rs:903``).
+    Dispatches to the native C++ kernel when available.
     """
     del control
     n = sym.ncols
+    from faer_tpu import native
+
+    nat = native.amd_order(n, sym.col_ptr, sym.row_idx)
+    if nat is not None:
+        return nat, _flop_count_for(sym, nat)
     adj = _symmetrize_pattern(sym)
 
     # quotient graph state: variable → adjacent variables + adjacent elements

@@ -37,7 +37,13 @@ def elimination_tree(sym: SymbolicSparseCsc) -> np.ndarray:
     """Liu's elimination tree from the lower-triangular pattern (col-major).
 
     parent[j] = first off-diagonal row in column j of L (−1 for roots).
+    Uses the native C++ kernel when available (faer_tpu.native).
     """
+    from faer_tpu import native
+
+    nat = native.etree(sym.ncols, sym.col_ptr, sym.row_idx)
+    if nat is not None:
+        return nat
     n = sym.ncols
     # Liu's algorithm processes ROW i's entries (k < i) at step i; the lower
     # CSC stores entry (i, j ≤ i) in column j, so build row lists first
@@ -122,11 +128,18 @@ def factorize_symbolic_cholesky(
     a_perm = permute_self_adjoint(
         SparseCscMat(sym, np.ones(sym.nnz)), perm).symbolic
     parent = elimination_tree(a_perm)
-    patterns = _column_patterns(a_perm, parent)
-    counts = np.array([len(p) for p in patterns], dtype=np.int64)
-    ptr = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(counts, out=ptr[1:])
-    row_idx = np.concatenate(patterns) if patterns else np.zeros(0, np.int64)
+    from faer_tpu import native
+
+    nat = native.l_pattern(n, a_perm.col_ptr, a_perm.row_idx, parent)
+    if nat is not None:
+        ptr, row_idx = nat
+        counts = np.diff(ptr)
+    else:
+        patterns = _column_patterns(a_perm, parent)
+        counts = np.array([len(p) for p in patterns], dtype=np.int64)
+        ptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=ptr[1:])
+        row_idx = np.concatenate(patterns) if patterns else np.zeros(0, np.int64)
     lsym = SymbolicSparseCsc(n, n, ptr, row_idx)
     return SymbolicCholesky(n=n, perm=perm, parent=parent, l_symbolic=lsym,
                             col_counts=counts)
