@@ -26,10 +26,11 @@ def _default_use_pallas() -> bool:
     env = os.environ.get("FAER_TPU_USE_PALLAS")
     if env is not None:
         return env not in ("0", "false", "False", "")
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover - backend probing should not fail
-        return False
+    # Measured on TPU v5e: XLA's own dot at Precision.HIGH beats the Pallas
+    # tile GEMM at every shape (88 vs 62 TF/s at 4096³), so plain GEMMs route
+    # to XLA by default. Pallas remains the vehicle for *fused* kernels
+    # (panel factorizations, update+argmax) where XLA has no primitive.
+    return False
 
 
 class _Config:
@@ -46,6 +47,10 @@ class _Config:
         # inside faer's 8n·eps test tolerance, ~2.5× faster than bf16x6);
         # "highest" = full f32 emulation for strict parity runs
         self.f32_precision: str = os.environ.get("FAER_TPU_F32_PRECISION", "high")
+        # Pallas panel-factor kernels (VMEM-resident sequential cores): on for
+        # TPU f32 paths; the XLA fori reference remains for other dtypes/CPU
+        self.use_pallas_panels: bool = os.environ.get(
+            "FAER_TPU_PALLAS_PANELS", "1") not in ("0", "false", "False")
 
     def pallas_enabled(self) -> bool:
         if self.use_pallas is None:
@@ -56,6 +61,20 @@ class _Config:
 config = _Config()
 
 _warned: set[str] = set()
+
+
+def panel_kernels_enabled(dtype) -> bool:
+    """True when the Pallas panel kernels should run (TPU backend + f32)."""
+    import jax.numpy as jnp
+
+    if not config.use_pallas_panels:
+        return False
+    if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
 
 
 def perf_warn(key: str, msg: str) -> None:

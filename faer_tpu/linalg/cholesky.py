@@ -74,9 +74,19 @@ def _llt_panel_recursive(a, reg: LltRegularization, base: int):
     """Two-level LLT of a (b, b) block: fori base case + GEMM recursion."""
     b = a.shape[0]
     if b <= base:
+        from faer_tpu.core.config import panel_kernels_enabled
+
+        if panel_kernels_enabled(a.dtype):
+            from faer_tpu.ops.pallas.panel_kernels import llt_block_pallas
+
+            # kernel reads rows as columns: mirror the lower triangle
+            full = jnp.tril(a) + jnp.tril(a, -1).T
+            return llt_block_pallas(full, eps=reg.epsilon, delta=reg.delta)
         return _panel_llt(a, reg)
     h = (b + 1) // 2
     d1, c1, o1 = _llt_panel_recursive(a[:h, :h], reg, base)
+    # SPD panels: ‖L₁₁⁻¹‖ ≤ √cond(A), so the explicit panel inverse (TRTRI at
+    # full f32 accuracy) is numerically safe and keeps the coupling one GEMM
     l1inv = invert_lower_triangular(d1, base=h)
     l21 = matmul(None, a[h:, :h], jnp.conj(l1inv).T)
     a22 = a[h:, h:] - matmul(None, l21, jnp.conj(l21).T)

@@ -87,13 +87,18 @@ def _panel_lu_blocked(panel, base: int):
     """
     m, b = panel.shape
     if b <= base:
+        from faer_tpu.core.config import panel_kernels_enabled
+
+        if panel_kernels_enabled(panel.dtype):
+            from faer_tpu.ops.pallas.panel_kernels import lu_panel_pallas
+
+            return lu_panel_pallas(panel)
         return _panel_lu(panel)
     h = (b + 1) // 2
     left, perm1, nt1, ok1 = _panel_lu_blocked(panel[:, :h], base)
     right = jnp.take(panel[:, h:], perm1, axis=0)
     l11 = jnp.tril(left[:h, :h], -1) + jnp.eye(h, dtype=panel.dtype)
-    l11_inv = invert_lower_triangular(l11, unit=True, base=h)
-    u12 = matmul(None, l11_inv, right[:h])
+    u12 = solve_unit_lower_triangular(l11, right[:h])
     r2 = right[h:] - matmul(None, left[h:, :h], u12)
     bot, perm2, nt2, ok2 = _panel_lu_blocked(r2, base)
     left_bot = jnp.take(left[h:, :], perm2, axis=0)
@@ -120,7 +125,10 @@ def lu_in_place(a, params: PartialPivLuParams | None = None):
     m, n = a.shape
     kmax = min(m, n)
     block = params.block_size or (256 if kmax >= 1024 else 64 if kmax >= 128 else kmax)
-    base = min(params.recursion_threshold, block)
+    from faer_tpu.core.config import panel_kernels_enabled
+
+    base = min(128 if panel_kernels_enabled(a.dtype) else params.recursion_threshold,
+               block)
     perm = jnp.arange(m, dtype=jnp.int32)
     nt = jnp.zeros((), jnp.int32)
     ok = jnp.ones((), jnp.bool_)
@@ -139,8 +147,7 @@ def lu_in_place(a, params: PartialPivLuParams | None = None):
         if k + bw < n:
             right = jnp.take(a[k:, k + bw:], local_perm, axis=0)
             l11 = jnp.tril(panel[:bw, :bw], -1) + jnp.eye(bw, dtype=a.dtype)
-            u12 = matmul(None, invert_lower_triangular(l11, unit=True, base=bw),
-                         right[:bw])
+            u12 = solve_unit_lower_triangular(l11, right[:bw])
             a22 = right[bw:]
             if m - k - bw > 0:
                 a22 = a22 - matmul(None, panel[bw:, :bw], u12)

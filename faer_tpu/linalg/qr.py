@@ -120,6 +120,13 @@ def _panel_qr_blocked(panel, base: int):
     inter-half coupling is one compact-WY block apply (two GEMMs)."""
     m, b = panel.shape
     if b <= base or m <= base:
+        from faer_tpu.core import dtypes as _dt
+        from faer_tpu.core.config import panel_kernels_enabled
+
+        if panel_kernels_enabled(panel.dtype) and not _dt.is_complex(panel.dtype):
+            from faer_tpu.ops.pallas.panel_kernels import qr_panel_pallas
+
+            return qr_panel_pallas(panel)
         return _panel_qr(panel)
     h = (b + 1) // 2
     left, taus1 = _panel_qr_blocked(panel[:, :h], base)
@@ -139,7 +146,9 @@ def _qr_in_place_impl(a, params: QrParams):
     m, n = a.shape
     kmax = min(m, n)
     block = _qr_block(kmax, params)
-    base = 32
+    from faer_tpu.core.config import panel_kernels_enabled
+
+    base = 128 if panel_kernels_enabled(a.dtype) else 32
     t_stack = []
 
     for k in range(0, kmax, block):

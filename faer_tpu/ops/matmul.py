@@ -44,12 +44,12 @@ def _precision_for(dtype):
     return lax.Precision.HIGH
 
 
-def _xla_matmul(a, b):
+def _xla_matmul(a, b, precision=None):
     return lax.dot_general(
         a, b,
         dimension_numbers=(((a.ndim - 1,), (b.ndim - 2,)), ((), ())),
         preferred_element_type=dtypes.mxu_accum_dtype(a.dtype),
-        precision=_precision_for(a.dtype),
+        precision=precision or _precision_for(a.dtype),
     ).astype(a.dtype)
 
 
@@ -76,22 +76,24 @@ def matmul(
     conj_rhs: Conj = Conj.NO,
     transpose_lhs: bool = False,
     transpose_rhs: bool = False,
+    precision=None,
 ):
     """Return ``accum(acc) + alpha * op(lhs) @ op(rhs)``.
 
     ``acc`` may be ``None`` when ``accum`` is ``REPLACE``. Purely functional
     (faer's in-place ``dst`` becomes the return value). Leading batch
-    dimensions broadcast through the XLA path.
+    dimensions broadcast through the XLA path. ``precision`` overrides the
+    global f32 MXU policy (sensitivity-critical small GEMMs pin HIGHEST).
     """
     a = _prep(lhs, conj_lhs, transpose_lhs)
     b = _prep(rhs, conj_rhs, transpose_rhs)
 
-    if _use_pallas(a, b):
+    if precision is None and _use_pallas(a, b):
         from faer_tpu.ops.pallas.matmul_kernel import pallas_matmul
 
         prod = pallas_matmul(a, b)
     else:
-        prod = _xla_matmul(a, b)
+        prod = _xla_matmul(a, b, precision=precision)
 
     if not (isinstance(alpha, (int, float)) and alpha == 1.0):
         prod = prod * jnp.asarray(alpha, dtype=prod.dtype)

@@ -20,9 +20,18 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+import jax
+
 from faer_tpu.core import dtypes
 from faer_tpu.core.flags import Accum, BlockStructure, Conj
 from faer_tpu.ops.matmul import matmul
+
+
+def _mm_hi(acc, a, b):
+    """Inverse-forming GEMMs are sensitivity-critical: error in a triangular
+    inverse is amplified by its own (possibly large) norm downstream, so these
+    always run at full f32 accumulation regardless of the global policy."""
+    return matmul(acc, a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 def structure_mask(n_rows: int, n_cols: int, structure: BlockStructure, dtype):
@@ -114,15 +123,15 @@ def _inv_lower_base(t, unit: bool):
     p = nn
     span = 2
     while span < n:
-        p = matmul(None, p, p)
-        s = s + matmul(None, p, s)
+        p = _mm_hi(None, p, p)
+        s = s + _mm_hi(None, p, s)
         span *= 2
     if dinv is not None:
         s = s * dinv[None, :].astype(s.dtype)
     # one Newton–Schulz refinement squares the residual of the Neumann sum
     # (X ← X(2I − T X)); keeps the base case at full dtype accuracy.
     tt = jnp.tril(t, k=-1) + jnp.eye(n, dtype=t.dtype) if unit else jnp.tril(t)
-    s = s + matmul(None, s, jnp.eye(n, dtype=t.dtype) - matmul(None, tt, s))
+    s = s + _mm_hi(None, s, jnp.eye(n, dtype=t.dtype) - _mm_hi(None, tt, s))
     return jnp.tril(s)
 
 
@@ -143,7 +152,7 @@ def invert_lower_triangular(t, *, unit: bool = False, base: int | None = None):
     b = t[h:, :h]
     ai = invert_lower_triangular(a, unit=unit, base=base)
     ci = invert_lower_triangular(c, unit=unit, base=base)
-    off = -matmul(None, matmul(None, ci, b), ai)
+    off = -_mm_hi(None, _mm_hi(None, ci, b), ai)
     top = jnp.concatenate([ai, jnp.zeros((h, n - h), dtype=t.dtype)], axis=1)
     bot = jnp.concatenate([off, ci], axis=1)
     return jnp.concatenate([top, bot], axis=0)

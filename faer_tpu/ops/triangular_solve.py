@@ -15,9 +15,16 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+import jax
+
 from faer_tpu.core import dtypes
 from faer_tpu.core.flags import Conj
 from faer_tpu.ops.matmul import matmul
+
+
+def _mm_hi(acc, a, b):
+    # diagonal-block inverse applications: full f32 accuracy (see triangular.py)
+    return matmul(acc, a, b, precision=jax.lax.Precision.HIGHEST)
 from faer_tpu.ops.triangular import invert_lower_triangular, invert_upper_triangular
 
 _BLOCK = 128
@@ -33,14 +40,14 @@ def solve_lower_triangular(l, b, *, unit: bool = False, conj: Conj = Conj.NO,
     n = l.shape[0]
     if n <= block:
         linv = invert_lower_triangular(_conj(jnp.tril(l), conj), unit=unit)
-        return matmul(None, linv, b)
+        return _mm_hi(None, linv, b)
     x_blocks = []
     rhs = b
     for i0 in range(0, n, block):
         i1 = min(i0 + block, n)
         lii = _conj(jnp.tril(l[i0:i1, i0:i1]), conj)
         linv = invert_lower_triangular(lii, unit=unit)
-        xi = matmul(None, linv, rhs[i0:i1])
+        xi = _mm_hi(None, linv, rhs[i0:i1])
         x_blocks.append(xi)
         if i1 < n:
             upd = matmul(None, _conj(l[i1:, i0:i1], conj), xi)
@@ -54,7 +61,7 @@ def solve_upper_triangular(u, b, *, unit: bool = False, conj: Conj = Conj.NO,
     n = u.shape[0]
     if n <= block:
         uinv = invert_upper_triangular(_conj(jnp.triu(u), conj), unit=unit)
-        return matmul(None, uinv, b)
+        return _mm_hi(None, uinv, b)
     x_blocks = []
     rhs = b
     starts = list(range(0, n, block))
@@ -62,7 +69,7 @@ def solve_upper_triangular(u, b, *, unit: bool = False, conj: Conj = Conj.NO,
         i1 = min(i0 + block, n)
         uii = _conj(jnp.triu(u[i0:i1, i0:i1]), conj)
         uinv = invert_upper_triangular(uii, unit=unit)
-        xi = matmul(None, uinv, rhs[i0:i1])
+        xi = _mm_hi(None, uinv, rhs[i0:i1])
         x_blocks.append(xi)
         if i0 > 0:
             upd = matmul(None, _conj(u[:i0, i0:i1], conj), xi)

@@ -1,0 +1,82 @@
+"""Batched (vmap) decompositions + mesh-layer tests on the 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from faer_tpu import stats
+from faer_tpu.linalg import batched
+from faer_tpu.utils.approx import assert_approx_eq, size_scale
+
+
+def _batch_spd(key, bsz, n, dtype=jnp.float64):
+    g = stats.standard_normal_mat(key, bsz * n, n, dtype).reshape(bsz, n, n)
+    return g @ g.mT / n + jnp.eye(n, dtype=dtype)
+
+
+def test_batched_llt():
+    a = _batch_spd(jax.random.key(80), 6, 24)
+    b = stats.standard_normal_mat(jax.random.key(81), 6 * 24, 2, jnp.float64).reshape(6, 24, 2)
+    x, info = batched.llt_solve_batched(a, b)
+    assert_approx_eq(np.einsum("bij,bjk->bik", np.asarray(a), np.asarray(x)), b,
+                     scale=size_scale(24) * 32)
+    assert bool(jnp.all(info.success))
+
+
+def test_batched_lu_and_qr():
+    bsz, n = 4, 20
+    a = stats.standard_normal_mat(jax.random.key(82), bsz * n, n, jnp.float64).reshape(bsz, n, n)
+    lu, perm, info = batched.lu_factor(a)
+    assert lu.shape == (bsz, n, n) and perm.shape == (bsz, n)
+    b = stats.standard_normal_mat(jax.random.key(83), bsz * n, 1, jnp.float64).reshape(bsz, n, 1)
+    x = batched.lu_solve(lu, perm, b)
+    assert_approx_eq(np.einsum("bij,bjk->bik", np.asarray(a), np.asarray(x)), b,
+                     scale=size_scale(n) * 64)
+
+    xq = batched.qr_solve_lstsq_batched(a, b)
+    assert_approx_eq(np.einsum("bij,bjk->bik", np.asarray(a), np.asarray(xq)), b,
+                     scale=size_scale(n) * 64)
+
+
+def test_batched_svd_evd():
+    bsz, m, n = 3, 16, 10
+    a = stats.standard_normal_mat(jax.random.key(84), bsz * m, n, jnp.float64).reshape(bsz, m, n)
+    u, s, v, info = batched.svd(a)
+    rec = np.einsum("bik,bk,bjk->bij", np.asarray(u), np.asarray(s), np.asarray(v))
+    assert_approx_eq(rec, a, scale=size_scale(m) * 32)
+
+    h = _batch_spd(jax.random.key(85), 3, 12)
+    w, z, info = batched.self_adjoint_evd(h)
+    rec = np.einsum("bik,bk,bjk->bij", np.asarray(z), np.asarray(w), np.asarray(z))
+    assert_approx_eq(rec, h, scale=size_scale(12) * 32)
+
+
+def test_mesh_sharded_matmul_and_solve():
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from faer_tpu.parallel import mesh as pmesh
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.array(devs[:8]).reshape(4, 2), ("dp", "tp"))
+
+    d = 64
+    x = stats.standard_normal_mat(jax.random.key(86), d, d, jnp.float32)
+    w = stats.standard_normal_mat(jax.random.key(87), d, d, jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("tp", None)))
+    ws = jax.device_put(w, NamedSharding(mesh, P(None, "tp")))
+    # note the shard_map contraction: x column-sharded × w row-sharded over tp
+    xs2 = jax.device_put(x, NamedSharding(mesh, P(None, "tp")))
+    ws2 = jax.device_put(w, NamedSharding(mesh, P("tp", None)))
+    z = pmesh.sharded_matmul(xs2, ws2, mesh)
+    assert_approx_eq(z, np.asarray(x) @ np.asarray(w), scale=size_scale(d) * 8,
+                     tol_dtype=jnp.float32)
+
+    a = _batch_spd(jax.random.key(88), 8, 16, jnp.float32)
+    b = stats.standard_normal_mat(jax.random.key(89), 8 * 16, 2, jnp.float32).reshape(8, 16, 2)
+    ab = pmesh.shard_batched(a, mesh, "dp")
+    bb = pmesh.shard_batched(b, mesh, "dp")
+    y = pmesh.batched_llt_solve(ab, bb)
+    assert_approx_eq(np.einsum("bij,bjk->bik", np.asarray(a), np.asarray(y)), b,
+                     scale=size_scale(16) * 64, tol_dtype=jnp.float32)
