@@ -25,13 +25,18 @@ import jax
 import jax.numpy as jnp
 
 
-def _timeit(make_out, reps: int = 3) -> float:
+def _timeit(make_out, reps: int = 9) -> float:
+    """Median of per-rep wall times — robust to the async tunnel's RTT jitter
+    (each rep pays one host round-trip; jitter is several ms)."""
     f = jax.jit(make_out)
     float(f())  # compile + warm
-    t0 = time.perf_counter()
+    ts = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         float(f())
-    return (time.perf_counter() - t0) / reps
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
 
 
 def log(msg: str) -> None:

@@ -93,6 +93,68 @@ def bidiag_svd(d, e, *, want_u: bool = True, want_v: bool = True,
         d, e, u, v, _, _ = jax.lax.fori_loop(0, n - 1, body, (d, e, u, v, x0, z0))
         return d, e, u, v
 
+    didx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+
+    def row_chase(d, e, u, v, i0, m):
+        """d[i0] == 0 with e[i0] ≠ 0: left rotations push row i0's off-diagonal
+        rightwards until it vanishes (standard dbdsqr splitting), decoupling
+        i0 from the rest of the block. Accumulates into U."""
+        b0 = e[i0]
+        e = jnp.where(idx == i0, 0.0, e)
+
+        def body(k, state):
+            d, e, u, b = state
+            active = (k > i0) & (k <= m)
+            c, s, r = _givens_real(d[k], b)
+            c = jnp.where(active, c, jnp.ones_like(c))
+            s = jnp.where(active, s, jnp.zeros_like(s))
+            d = d.at[k].set(jnp.where(active, r, d[k]))
+            e_k = e[jnp.minimum(k, n - 2)]
+            has_next = active & (k < m)
+            new_b = jnp.where(has_next, -s * e_k, jnp.zeros_like(s))
+            e = e.at[jnp.minimum(k, n - 2)].set(
+                jnp.where(has_next, c * e_k, e_k))
+            if u is not None:
+                uk, ui0 = u[:, k], u[:, i0]
+                u = u.at[:, k].set(jnp.where(active, c * uk + s * ui0, uk))
+                u = u.at[:, i0].set(jnp.where(active, -s * uk + c * ui0, ui0))
+            b = jnp.where(active, new_b, b)
+            return d, e, u, b
+
+        d, e, u, _ = jax.lax.fori_loop(0, n, body, (d, e, u, b0))
+        return d, e, u, v
+
+    def col_chase(d, e, u, v, l, m):
+        """d[m] == 0 with e[m-1] ≠ 0: right rotations push column m's
+        off-diagonal upwards until it vanishes. Accumulates into V."""
+        b0 = e[m - 1]
+        e = jnp.where(idx == m - 1, 0.0, e)
+
+        def body(t, state):
+            d, e, v, b = state
+            k = m - 1 - t
+            active = (k >= l) & (k < m)
+            c, s, r = _givens_real(d[jnp.maximum(k, 0)], b)
+            c = jnp.where(active, c, jnp.ones_like(c))
+            s = jnp.where(active, s, jnp.zeros_like(s))
+            d = d.at[jnp.maximum(k, 0)].set(
+                jnp.where(active, r, d[jnp.maximum(k, 0)]))
+            e_km1 = e[jnp.maximum(k - 1, 0)]
+            has_prev = active & (k > l)
+            new_b = jnp.where(has_prev, -s * e_km1, jnp.zeros_like(s))
+            e = e.at[jnp.maximum(k - 1, 0)].set(
+                jnp.where(has_prev, c * e_km1, e_km1))
+            if v is not None:
+                vk = v[:, jnp.maximum(k, 0)]
+                vm = v[:, m]
+                v = v.at[:, jnp.maximum(k, 0)].set(jnp.where(active, c * vk + s * vm, vk))
+                v = v.at[:, m].set(jnp.where(active, -s * vk + c * vm, vm))
+            b = jnp.where(active, new_b, b)
+            return d, e, v, b
+
+        d, e, v, _ = jax.lax.fori_loop(0, n, body, (d, e, v, b0))
+        return d, e, u, v
+
     def cond(state):
         d, e, u, v, l, it = state
         return (l < n - 1) & (it < max_iters)
@@ -105,14 +167,35 @@ def bidiag_svd(d, e, *, want_u: bool = True, want_v: bool = True,
         m = jnp.where(jnp.any(is_zero), jnp.argmax(is_zero), n - 1).astype(jnp.int32)
         block_done = m <= l
 
-        def advance(ops):
-            return ops
+        # negligible diagonal inside the block → splitting chase
+        dscale = jnp.max(jnp.abs(d)) + jnp.max(jnp.abs(e))
+        d = jnp.where(jnp.abs(d) <= eps * dscale, 0.0, d)
+        dz = (d == 0) & (didx >= l) & (didx <= m)
+        has_dz = jnp.any(dz) & ~block_done
+        i0 = jnp.argmax(dz).astype(jnp.int32)
 
-        def do_sweep(ops):
+        def do_chase(ops):
             d, e, u, v = ops
-            return sweep(d, e, u, v, l, m)
+            return jax.lax.cond(
+                i0 == m,
+                lambda o: col_chase(*o, l, m),
+                lambda o: row_chase(*o, i0, m),
+                (d, e, u, v),
+            )
 
-        d, e, u, v = jax.lax.cond(block_done, advance, do_sweep, (d, e, u, v))
+        def no_chase(ops):
+            d, e, u, v = ops
+
+            def advance(o):
+                return o
+
+            def do_sweep(o):
+                d, e, u, v = o
+                return sweep(d, e, u, v, l, m)
+
+            return jax.lax.cond(block_done, advance, do_sweep, (d, e, u, v))
+
+        d, e, u, v = jax.lax.cond(has_dz, do_chase, no_chase, (d, e, u, v))
         l = jnp.where(block_done, l + 1, l)
         return d, e, u, v, l, it + 1
 

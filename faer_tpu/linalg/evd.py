@@ -160,12 +160,19 @@ def complex_schur(h, q, *, max_sweeps_factor: int = 30):
     def subdiag(h):
         return jnp.diagonal(h, -1)
 
+    # Absolute deflation floor at eps·‖H‖ (a backward-stable perturbation):
+    # the relative-only criterion never fires when the adjacent diagonal
+    # entries are small, and the loop spins to max_iters on a numerically
+    # converged subdiagonal (observed: |h[i+1,i]| ~ 1e-15 next to ~1e-3 diag)
+    hnorm0 = jnp.max(jnp.abs(h))
+    smlnum = eps * jnp.maximum(hnorm0, jnp.asarray(dtypes.min_positive(rdt), rdt))
+
     def body(state):
-        h, q, hi, it = state
+        h, q, hi, it, stall = state
         # hi = index of the current active block's end (eigenvalue being worked)
         sd = subdiag(h)
         dmag = jnp.abs(jnp.diagonal(h))
-        tol = eps * (dmag[:-1] + dmag[1:])
+        tol = jnp.maximum(eps * (dmag[:-1] + dmag[1:]), smlnum)
         negligible = jnp.abs(sd) <= tol
         # deflate: while sd[hi-1] negligible → hi -= 1 (do one per iteration)
         can_deflate = (hi > 0) & negligible[jnp.maximum(hi - 1, 0)]
@@ -191,6 +198,10 @@ def complex_schur(h, q, *, max_sweeps_factor: int = 30):
             r1 = (tr + disc) / 2
             r2 = (tr - disc) / 2
             mu = jnp.where(jnp.abs(r1 - a22) < jnp.abs(r2 - a22), r1, r2)
+            # exceptional shift every 10 stalled sweeps (repeated/clustered
+            # eigenvalues stagnate the Wilkinson shift — LAPACK zlahqr trick)
+            exc = a22 + 0.75 * jnp.abs(a21).astype(dtype)
+            mu = jnp.where((stall % 10) == 9, exc, mu)
             x0 = h[lo, lo] - mu
             z0 = h[lo + 1, lo]
 
@@ -228,14 +239,16 @@ def complex_schur(h, q, *, max_sweeps_factor: int = 30):
 
         h, q = jax.lax.cond(can_deflate, deflate, do_sweep, (h, q))
         hi = jnp.where(can_deflate, hi - 1, hi)
-        return h, q, hi, it + 1
+        stall = jnp.where(can_deflate, 0, stall + 1)
+        return h, q, hi, it + 1, stall
 
     def cond(state):
-        h, q, hi, it = state
+        h, q, hi, it, stall = state
         return (hi > 0) & (it < max_iters)
 
-    state = (h, q, jnp.asarray(n - 1, jnp.int32), jnp.zeros((), jnp.int32))
-    h, q, hi, it = jax.lax.while_loop(cond, body, state)
+    state = (h, q, jnp.asarray(n - 1, jnp.int32), jnp.zeros((), jnp.int32),
+             jnp.zeros((), jnp.int32))
+    h, q, hi, it, _ = jax.lax.while_loop(cond, body, state)
     # clean below-diagonal
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)

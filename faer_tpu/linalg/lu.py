@@ -124,7 +124,10 @@ def lu_in_place(a, params: PartialPivLuParams | None = None):
     params = params or PartialPivLuParams.auto(a.dtype, a.shape)
     m, n = a.shape
     kmax = min(m, n)
-    block = params.block_size or (256 if kmax >= 1024 else 64 if kmax >= 128 else kmax)
+    # 512-wide panels measured fastest at 4096 f32 on v5e (5.0 vs 4.4 TF/s)
+    block = params.block_size or (512 if kmax >= 2048 else
+                                  256 if kmax >= 1024 else
+                                  64 if kmax >= 128 else kmax)
     from faer_tpu.core.config import panel_kernels_enabled
 
     base = min(128 if panel_kernels_enabled(a.dtype) else params.recursion_threshold,

@@ -175,3 +175,27 @@ def test_sparse_qr_lstsq(rng):
     x = f.solve_lstsq(b)
     want, *_ = np.linalg.lstsq(a, b, rcond=None)
     np.testing.assert_allclose(x, want, atol=1e-6)
+
+
+def test_supernodal_cholesky(rng):
+    from faer_tpu.sparse import supernodal as ssn
+
+    n = 80
+    a = _rand_sparse(rng, n, n, 0.06, spd=True)
+    lower = SparseCscMat.from_dense(np.tril(a))
+    symb, ssym, l = ssn.sp_cholesky_supernodal(lower)
+    assert len(ssym.sn_rows) < n  # actually grouped some columns
+    ld = l.to_dense()
+    papt = a[symb.perm][:, symb.perm]
+    np.testing.assert_allclose(ld @ ld.T, papt, atol=1e-8)
+    # identical to the simplicial factor
+    l2 = sch.factorize_numeric_llt(symb, lower)
+    np.testing.assert_allclose(ld, l2.to_dense(), atol=1e-9)
+
+
+def test_levels_lower(rng):
+    n = 12
+    l = np.tril(rng.standard_normal((n, n)), -1) + np.eye(n) * 2
+    ml = SparseCscMat.from_dense(l)
+    lv = sts.levels_lower(ml)
+    assert lv[0] == 0 and lv.max() < n
