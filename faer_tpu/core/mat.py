@@ -263,6 +263,22 @@ class Mat:
 
         return solvers.PartialPivLu.new(self.a).determinant()
 
+    def inverse(self):
+        from faer_tpu.linalg import solvers
+
+        return Mat(solvers.PartialPivLu.new(self.a).inverse())
+
+    def solve(self, rhs):
+        """Square solve via partial-pivot LU (faer ``DenseSolve``)."""
+        from faer_tpu.linalg import solvers
+
+        return solvers.PartialPivLu.new(self.a).solve(self._coerce(rhs))
+
+    def solve_lstsq(self, rhs):
+        from faer_tpu.linalg import solvers
+
+        return solvers.Qr.new(self.a).solve_lstsq(self._coerce(rhs))
+
     def rank(self, tol=None):
         from faer_tpu.linalg import svd as _svd
 

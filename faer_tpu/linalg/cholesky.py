@@ -112,7 +112,10 @@ def llt_factor(a, *, reg: LltRegularization | None = None,
     reg = reg or LltRegularization()
     n = a.shape[0]
     block = params.block_size or (256 if n >= 1024 else 64 if n >= 128 else n)
-    base = min(params.recursion_threshold, block)
+    from faer_tpu.core.config import panel_kernels_enabled
+
+    base = min(256 if panel_kernels_enabled(a.dtype) else params.recursion_threshold,
+               block)
     count = jnp.zeros((), jnp.int32)
     ok = jnp.ones((), jnp.bool_)
 

@@ -130,7 +130,7 @@ def lu_in_place(a, params: PartialPivLuParams | None = None):
                                   64 if kmax >= 128 else kmax)
     from faer_tpu.core.config import panel_kernels_enabled
 
-    base = min(128 if panel_kernels_enabled(a.dtype) else params.recursion_threshold,
+    base = min(256 if panel_kernels_enabled(a.dtype) else params.recursion_threshold,
                block)
     perm = jnp.arange(m, dtype=jnp.int32)
     nt = jnp.zeros((), jnp.int32)

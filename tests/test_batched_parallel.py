@@ -80,3 +80,22 @@ def test_mesh_sharded_matmul_and_solve():
     y = pmesh.batched_llt_solve(ab, bb)
     assert_approx_eq(np.einsum("bij,bjk->bik", np.asarray(a), np.asarray(y)), b,
                      scale=size_scale(16) * 64, tol_dtype=jnp.float32)
+
+
+def test_block_cyclic_distributed_llt():
+    from jax.sharding import Mesh
+
+    from faer_tpu.parallel.distributed import block_cyclic_llt, block_cyclic_llt_solve
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = Mesh(np.array(devs[:4]), ("p",))
+    n = 128
+    a = stats.spd_mat(jax.random.key(100), n, jnp.float64)
+    l = block_cyclic_llt(a, mesh, block=16)
+    ln = np.asarray(l)
+    assert_approx_eq(ln @ ln.T, np.asarray(a), scale=size_scale(n) * 16)
+    b = stats.standard_normal_mat(jax.random.key(101), n, 2, jnp.float64)
+    x = block_cyclic_llt_solve(l, b)
+    assert_approx_eq(np.asarray(a) @ np.asarray(x), b, scale=size_scale(n) * 64)
