@@ -6,6 +6,6 @@ SVD, self-adjoint/general EVD, generalized EVD; §2.3 ``solvers``.
 from faer_tpu.linalg import cholesky, lu, qr
 
 __all__ = [
-    "cholesky", "lu", "qr", "solvers", "svd", "evd", "gevd",
+    "cholesky", "lu", "qr", "solvers", "svd", "evd", "gevd", "qz", "batched",
     "bidiag", "bidiag_svd", "tridiag", "tridiag_evd",
 ]

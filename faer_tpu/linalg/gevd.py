@@ -4,14 +4,12 @@ Reference parity: ``faer/src/linalg/gevd`` — ``gevd_real/gevd_cplx``
 (``gevd/mod.rs:1295,1329``) with eigenvalues as (α, β) ratios, plus the
 self-adjoint-definite variant.
 
-Round-1 implementation note: faer reduces (A, B) to generalized Hessenberg and
-runs real/complex QZ (``qz_real/mod.rs:1508``, ``qz_cplx/mod.rs:1140``). Here
-the general path reduces via the B factorization instead — ``C = B⁻¹A`` through
-a partially-pivoted LU solve, then the standard EVD — which is accurate when B
-is well-conditioned and is the documented limitation; a true QZ (shifted
-Hessenberg-triangular iteration) is the planned upgrade. The self-adjoint
-positive-definite variant uses the numerically solid Cholesky reduction
-``C = L⁻¹ A L⁻ᴴ``.
+The general path runs the true QZ (``faer_tpu.linalg.qz``: Hessenberg-
+triangular reduction + single-shift Moler-Stewart iteration), matching faer's
+``hessenberg_to_qz`` structure with (α, β) eigenvalue pairs. A fast
+B-factorization reduction (``C = B⁻¹A`` + standard EVD) remains available via
+``method="reduction"`` for well-conditioned B. The self-adjoint
+positive-definite variant uses the Cholesky reduction ``C = L⁻¹ A L⁻ᴴ``.
 """
 from __future__ import annotations
 
@@ -28,10 +26,18 @@ from faer_tpu.ops.triangular_solve import (
 )
 
 
-def gevd(a, b):
+def gevd(a, b, *, method: str = "qz"):
     """General (A, B) eigenproblem: returns ``(alpha, beta, v, info)`` with
-    ``A v diag(beta) = B v diag(alpha)`` column-wise (β = 1 in this reduction).
+    ``A v diag(beta) = B v diag(alpha)`` column-wise.
+
+    ``method="qz"`` (default): true generalized Schur via QZ — robust for
+    singular/ill-conditioned B (faer parity). ``method="reduction"``:
+    ``C = B⁻¹A`` + standard EVD (β = 1), cheaper when B is well-conditioned.
     """
+    if method == "qz":
+        from faer_tpu.linalg.qz import gevd_qz
+
+        return gevd_qz(a, b)
     lu, perm, lu_info = _lu.lu_in_place(b)
     c = _lu.lu_solve(lu, perm, a)
     w, v, info = _evd.evd(c)

@@ -146,3 +146,44 @@ def test_solver_objects_spectral():
     an, vn, wn = np.asarray(ft.Mat._coerce(eig.eigenvectors)), np.asarray(eig.eigenvectors), np.asarray(eig.eigenvalues)
     a12 = np.asarray(stats.standard_normal_mat(jax.random.key(59), 12, 12, jnp.float64))
     assert np.abs(a12 @ vn - vn * wn[None, :]).max() < 1e-10
+
+
+@pytest.mark.parametrize("dtype", [jnp.float64, jnp.complex128])
+def test_qz_generalized_schur(dtype):
+    import scipy.linalg as sla
+
+    from faer_tpu.linalg import qz as fqz
+
+    n = 16
+    k1, k2 = jax.random.split(jax.random.key(60))
+    a = stats.standard_normal_mat(k1, n, n, dtype)
+    b = stats.standard_normal_mat(k2, n, n, dtype)
+    s_, t_, q, v, info = fqz.qz(a, b)
+    assert bool(info.converged)
+    an, bn = np.asarray(a), np.asarray(b)
+    sn, tn, qn, vn = map(np.asarray, (s_, t_, q, v))
+    scale = size_scale(n) * 32
+    assert_approx_eq(qn @ sn @ np.conj(vn).T, an, scale=scale)
+    assert_approx_eq(qn @ tn @ np.conj(vn).T, bn, scale=scale)
+    assert np.abs(np.tril(sn, -1)).max() == 0
+    assert np.abs(np.tril(tn, -1)).max() == 0
+    lam = np.diag(sn) / np.diag(tn)
+    assert _match_eigs(lam, sla.eigvals(an, bn)) < scale * np.finfo(np.float64).eps * 100
+
+
+def test_gevd_qz_singular_b():
+    """True QZ handles singular B (infinite eigenvalues) — the reduction
+    method cannot."""
+    from faer_tpu.linalg import qz as fqz
+
+    n = 8
+    a = stats.standard_normal_mat(jax.random.key(62), n, n, jnp.float64)
+    bsing = stats.standard_normal_mat(jax.random.key(63), n, 3, jnp.float64)
+    b = bsing @ bsing.T  # rank 3 → 5 infinite eigenvalues
+    alpha, beta, v, info = fqz.gevd_qz(a, jnp.asarray(b))
+    # finite eigenvalues must satisfy the pencil equation
+    an, bn, vn = np.asarray(a), np.asarray(b), np.asarray(v)
+    resid = np.abs(an @ vn * np.asarray(beta)[None, :] -
+                   bn @ vn * np.asarray(alpha)[None, :]).max()
+    assert resid < 1e-10 * max(np.abs(an).max(), np.abs(bn).max()) * 100
+    assert int(np.sum(np.abs(np.asarray(beta)) < 1e-10)) >= 3  # infinite eigs detected
