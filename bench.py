@@ -25,6 +25,12 @@ import jax
 import jax.numpy as jnp
 
 
+def _once(f) -> float:
+    t0 = time.perf_counter()
+    float(f())
+    return time.perf_counter() - t0
+
+
 def _timeit(make_out, reps: int = 9) -> float:
     """Median of per-rep wall times — robust to the async tunnel's RTT jitter
     (each rep pays one host round-trip; jitter is several ms)."""
@@ -59,16 +65,23 @@ def main() -> None:
     rtt = _timeit(lambda: jnp.float32(1.0) + 1.0, reps=5)
     log(f"host<->device round-trip: {rtt*1e3:.1f} ms (subtracted)")
 
-    # empirical matmul roofline at the library's f32 precision policy
+    # empirical matmul roofline at the library's f32 precision policy —
+    # best-of-reps over a long in-jit chain (the denominator must be stable;
+    # single short chains vary 2-3× with tunnel noise)
+    chain_len = 20
+
     def mm_chain():
         def body(i, y):
             return jax.lax.dot(y, g, precision=jax.lax.Precision.HIGHEST
                                if os.environ.get("FAER_TPU_F32_PRECISION") == "highest"
                                else jax.lax.Precision.HIGH)
-        y = jax.lax.fori_loop(0, 8, body, g)
+        y = jax.lax.fori_loop(0, chain_len, body, g)
         return jnp.sum(y)
 
-    t_mm = (_timeit(mm_chain, reps=2) - rtt) / 8
+    f = jax.jit(mm_chain)
+    float(f())
+    best = min(_once(f) for _ in range(5))
+    t_mm = max(best - rtt, 1e-9) / chain_len
     peak = 2 * n**3 / t_mm
     log(f"empirical matmul roofline: {peak/1e12:.2f} TFLOP/s ({t_mm*1e3:.2f} ms per {n}³ GEMM)")
 

@@ -58,12 +58,14 @@ def _lu_panel_kernel(a_ref, o_ref, perm_ref, nt_ref, ok_ref, *, m, b, kmax, mval
         pivot = jnp.sum(jnp.where(lane_j, rowp, 0.0))
         ok = ok & (pivot != 0)
         safe = jnp.where(pivot == 0, 1.0, pivot)
-        # column j after the swap
-        colj = jnp.sum(jnp.where(lane_j, o_ref[:], 0.0), axis=1, keepdims=True)
+        # post-swap column j derived from the pre-swap extraction (swap the
+        # two affected entries) — saves a full-panel pass per step
+        cj = jnp.sum(jnp.where(rows == j, colj, 0.0))
+        cp = jnp.sum(jnp.where(rows == p, colj, 0.0))
+        colj = jnp.where(rows == j, cp, jnp.where(rows == p, cj, colj))
         mult = jnp.where(rows > j, colj / safe, colj)
         # one fused pass: write multipliers into column j, rank-1 update right
-        rowj_new = o_ref[pl.ds(j, 1), :]
-        upd = jnp.where((rows > j) & (lanes > j), mult * rowj_new, 0.0)
+        upd = jnp.where((rows > j) & (lanes > j), mult * rowp, 0.0)
         o_ref[:] = jnp.where(lane_j & (rows > j), mult, o_ref[:] - upd)
         return nt, ok
 
