@@ -31,9 +31,11 @@ def _once(f) -> float:
     return time.perf_counter() - t0
 
 
-def _timeit(make_out, reps: int = 9) -> float:
-    """Median of per-rep wall times — robust to the async tunnel's RTT jitter
-    (each rep pays one host round-trip; jitter is several ms)."""
+def _timeit(make_out, reps: int = 11, best: bool = True) -> float:
+    """Best (default) or median of per-rep wall times. The shared tunnel's
+    throughput varies 2-4x across seconds-long windows; peak-vs-peak (both the
+    factor numerator and the matmul-roofline denominator take their best rep)
+    is the stable, comparable measurement."""
     f = jax.jit(make_out)
     float(f())  # compile + warm
     ts = []
@@ -42,7 +44,7 @@ def _timeit(make_out, reps: int = 9) -> float:
         float(f())
         ts.append(time.perf_counter() - t0)
     ts.sort()
-    return ts[len(ts) // 2]
+    return ts[0] if best else ts[len(ts) // 2]
 
 
 def log(msg: str) -> None:
@@ -62,7 +64,7 @@ def main() -> None:
     g = jax.random.normal(key, (n, n), jnp.float32)
     a_spd = (g @ g.T / n + jnp.eye(n, dtype=jnp.float32)).block_until_ready()
 
-    rtt = _timeit(lambda: jnp.float32(1.0) + 1.0, reps=5)
+    rtt = _timeit(lambda: jnp.float32(1.0) + 1.0, reps=11, best=True)
     log(f"host<->device round-trip: {rtt*1e3:.1f} ms (subtracted)")
 
     # empirical matmul roofline at the library's f32 precision policy —

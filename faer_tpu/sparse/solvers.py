@@ -47,6 +47,42 @@ class Llt:
         return sch.llt_solve(self.symb, self.l, b)
 
 
+class Ldlt:
+    """Sparse simplicial LDLT (faer sparse ``Ldlt``)."""
+
+    def __init__(self, symb: sch.SymbolicCholesky, l: SparseCscMat, d):
+        self.symb = symb
+        self.l = l
+        self.d = d
+
+    @staticmethod
+    def new(a: SparseCscMat, side=None) -> "Ldlt":
+        symb = sch.factorize_symbolic_cholesky(a.symbolic)
+        l, d = sch.factorize_numeric_ldlt(symb, a)
+        return Ldlt(symb, l, d)
+
+    @staticmethod
+    def try_new_with_symbolic(symbolic: SymbolicLlt, a: SparseCscMat) -> "Ldlt":
+        l, d = sch.factorize_numeric_ldlt(symbolic.symb, a)
+        return Ldlt(symbolic.symb, l, d)
+
+    def solve(self, b):
+        from faer_tpu.sparse.triangular_solve import (
+            solve_lower_triangular,
+            solve_lower_triangular_transpose,
+        )
+
+        b = np.asarray(b)
+        pb = b[self.symb.perm]
+        y = solve_lower_triangular(self.l, pb, unit=True)
+        y = (y.T / self.d).T if y.ndim > 1 else y / self.d
+        z = solve_lower_triangular_transpose(self.l, y, unit=True,
+                                             conj=np.iscomplexobj(self.l.values))
+        out = np.empty_like(z)
+        out[self.symb.perm] = z
+        return out
+
+
 class Lu:
     def __init__(self, f: slu.SparseLu):
         self.f = f

@@ -199,3 +199,16 @@ def test_levels_lower(rng):
     ml = SparseCscMat.from_dense(l)
     lv = sts.levels_lower(ml)
     assert lv[0] == 0 and lv.max() < n
+
+
+def test_sparse_ldlt(rng):
+    n = 30
+    a = _rand_sparse(rng, n, n, 0.1, spd=True)
+    lower = SparseCscMat.from_dense(np.tril(a))
+    f = ssol.Ldlt.new(lower)
+    b = np.asarray(rng.standard_normal((n, 2)))
+    np.testing.assert_allclose(a @ f.solve(b), b, atol=1e-8)
+    # symbolic reuse
+    sym = ssol.SymbolicLlt.try_new(lower.symbolic)
+    f2 = ssol.Ldlt.try_new_with_symbolic(sym, lower)
+    np.testing.assert_allclose(a @ f2.solve(b[:, 0]), b[:, 0], atol=1e-8)
