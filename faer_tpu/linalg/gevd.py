@@ -13,10 +13,8 @@ positive-definite variant uses the Cholesky reduction ``C = L⁻¹ A L⁻ᴴ``.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
-from faer_tpu.core import dtypes
 from faer_tpu.linalg import evd as _evd
 from faer_tpu.linalg import lu as _lu
 from faer_tpu.linalg.cholesky import llt_factor

@@ -28,7 +28,6 @@ from faer_tpu.core import dtypes, perm as permod
 from faer_tpu.core.errors import LuInfo
 from faer_tpu.core.params import FullPivLuParams, PartialPivLuParams
 from faer_tpu.ops.matmul import matmul
-from faer_tpu.ops.triangular import invert_lower_triangular
 from faer_tpu.ops.triangular_solve import solve_unit_lower_triangular, solve_upper_triangular
 
 

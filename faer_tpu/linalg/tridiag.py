@@ -13,8 +13,6 @@ builds on.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

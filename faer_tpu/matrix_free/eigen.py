@@ -13,8 +13,6 @@ the selected Ritz vectors) and re-extends to m with a trace-time Arnoldi loop
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -8,7 +8,6 @@ from __future__ import annotations
 
 from typing import Callable, Protocol, runtime_checkable
 
-import jax
 import jax.numpy as jnp
 
 from faer_tpu.ops.matmul import matmul

@@ -11,7 +11,6 @@ The reference's nearest concepts are symbolic-factorization reuse
 """
 from __future__ import annotations
 
-import functools
 import hashlib
 import os
 
