@@ -47,6 +47,23 @@ def bidiag_svd(d, e, *, want_u: bool = True, want_v: bool = True,
         t22 = dm * dm + em1 * em1
         t12 = dm1 * em1
         mu = _wilkinson_shift(t11, t12, t22)
+
+        from faer_tpu.core.config import panel_kernels_enabled
+
+        if panel_kernels_enabled(rdt):
+            # VMEM-resident Mosaic sweep + chunked rotation-chain GEMMs for
+            # U/V (same treatment as tridiag_evd — the XLA fori pays ~6 µs of
+            # tiny HBM DMAs per step and 2-column scatters on U and V)
+            from faer_tpu.linalg.tridiag_evd import _apply_rotation_chain
+            from faer_tpu.ops.pallas.panel_kernels import bidiag_sweep_pallas
+
+            d, e, c1, s1, c2, s2 = bidiag_sweep_pallas(d, e, l, m, mu)
+            if v is not None:
+                v = _apply_rotation_chain(v, c1, s1)
+            if u is not None:
+                u = _apply_rotation_chain(u, c2, s2)
+            return d, e, u, v
+
         x0 = d[l] * d[l] - mu
         z0 = d[l] * e[l]
 

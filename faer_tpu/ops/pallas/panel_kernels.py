@@ -343,3 +343,110 @@ def tridiag_sweep_pallas(d, e, l, m, mu):
         ),
     )(lm, jnp.reshape(mu, (1,)), d[:, None], e[:, None])
     return d2[:, 0], e2[:, 0], c_arr[:, 0], s_arr[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# bidiagonal implicit-QR (Golub-Kahan) sweep
+# ---------------------------------------------------------------------------
+
+def _bidiag_sweep_kernel(lm_ref, mu_ref, d_ref, e_ref,
+                         do_ref, eo_ref, c1_ref, s1_ref, c2_ref, s2_ref, *, n):
+    """One shifted Golub-Kahan sweep on bidiagonal (d, e): VMEM-resident state,
+    emits the right (c1, s1 → V) and left (c2, s2 → U) rotation coefficients.
+    """
+    l = lm_ref[0]
+    m = lm_ref[1]
+    mu = mu_ref[0]
+    do_ref[...] = d_ref[...]
+    eo_ref[...] = e_ref[...]
+    c1_ref[...] = jnp.ones_like(c1_ref)
+    s1_ref[...] = jnp.zeros_like(s1_ref)
+    c2_ref[...] = jnp.ones_like(c2_ref)
+    s2_ref[...] = jnp.zeros_like(s2_ref)
+
+    def _rd(ref, i):
+        return ref[pl.ds(i, 1), :][0, 0]
+
+    def _wr(ref, i, v):
+        ref[pl.ds(i, 1), :] = jnp.reshape(v, (1, 1))
+
+    dl = _rd(d_ref, l)
+    x0 = dl * dl - mu
+    z0 = dl * _rd(e_ref, l)
+
+    def body(i, carry):
+        x, bz = carry
+        active = (i >= l) & (i < m)
+
+        def giv(a_, b_):
+            r = jnp.sqrt(a_ * a_ + b_ * b_)
+            safe = jnp.where(r == 0, 1.0, r)
+            c = jnp.where(active, jnp.where(r == 0, 1.0, a_ / safe), 1.0)
+            s = jnp.where(active, jnp.where(r == 0, 0.0, b_ / safe), 0.0)
+            return c, s, r
+
+        c1, s1, r1 = giv(x, bz)
+        _wr(c1_ref, i, c1)
+        _wr(s1_ref, i, s1)
+
+        @pl.when(active & (i > l))
+        def _():
+            _wr(eo_ref, i - 1, r1)
+
+        di = _rd(do_ref, i)
+        dip1 = _rd(do_ref, i + 1)
+        ei = _rd(eo_ref, i)
+        new_di = c1 * di + s1 * ei
+        new_ei = -s1 * di + c1 * ei
+        bulge = s1 * dip1
+        new_dip1 = c1 * dip1
+
+        c2, s2, r2 = giv(new_di, bulge)
+        _wr(c2_ref, i, c2)
+        _wr(s2_ref, i, s2)
+        e2v = c2 * new_ei + s2 * new_dip1
+        d2ip1 = -s2 * new_ei + c2 * new_dip1
+
+        @pl.when(active)
+        def _():
+            _wr(do_ref, i, r2)
+            _wr(do_ref, i + 1, d2ip1)
+            _wr(eo_ref, i, e2v)
+
+        has_next = active & (i + 1 < m)
+        e_next = _rd(eo_ref, jnp.minimum(i + 1, n - 2))
+
+        @pl.when(has_next)
+        def _():
+            _wr(eo_ref, i + 1, c2 * e_next)
+
+        new_bz = jnp.where(active, jnp.where(has_next, s2 * e_next, 0.0), bz)
+        new_x = jnp.where(active, e2v, x)
+        return new_x, new_bz
+
+    jax.lax.fori_loop(0, n - 1, body, (x0, z0))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def bidiag_sweep_pallas(d, e, l, m, mu):
+    """One Golub-Kahan sweep: returns (d', e', c1, s1, c2, s2). f32 only."""
+    n = d.shape[0]
+    lm = jnp.stack([l.astype(jnp.int32), m.astype(jnp.int32)])
+    kernel = functools.partial(_bidiag_sweep_kernel, n=n)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((n, 1), d.dtype),
+             jax.ShapeDtypeStruct((n - 1, 1), e.dtype)]
+            + [jax.ShapeDtypeStruct((n - 1, 1), d.dtype)] * 4
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 6),
+    )(lm, jnp.reshape(mu, (1,)), d[:, None], e[:, None])
+    d2, e2, c1, s1, c2, s2 = outs
+    return d2[:, 0], e2[:, 0], c1[:, 0], s1[:, 0], c2[:, 0], s2[:, 0]
