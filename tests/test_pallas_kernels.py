@@ -33,3 +33,119 @@ def test_pallas_matmul_interpret(shape, monkeypatch):
     want = np.asarray(a, np.float64) @ np.asarray(b, np.float64)
     assert_approx_eq(got, want, scale=size_scale(k) * 8, tol_dtype=jnp.float32)
     mk._mm_padded.clear_cache()
+
+
+def _interp(monkeypatch, module):
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        kwargs.pop("compiler_params", None)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(module.pl, "pallas_call", interp_call)
+
+
+def test_tridiag_sweep_kernel_interpret(monkeypatch):
+    import faer_tpu.ops.pallas.panel_kernels as pk
+
+    _interp(monkeypatch, pk)
+    pk.tridiag_sweep_pallas.clear_cache()
+    rng = np.random.default_rng(3)
+    n = 32
+    d0 = rng.standard_normal(n).astype(np.float32)
+    e0 = rng.standard_normal(n - 1).astype(np.float32)
+    l, m = 2, 20
+    # numpy reference recurrence
+    d, e = d0.copy(), e0.copy()
+    delta = (d[m - 1] - d[m]) / 2
+    sq = np.sqrt(delta * delta + e[m - 1] ** 2)
+    mu = d[m] - e[m - 1] ** 2 / (delta + np.sign(delta or 1) * sq)
+    x, bz = np.float32(d[l] - mu), e[l]
+    for i in range(l, m):
+        r = np.float32(np.hypot(x, bz))
+        c, s = (np.float32(1), np.float32(0)) if r == 0 else (x / r, bz / r)
+        if i > l:
+            e[i - 1] = r
+        di, dip1, ei = d[i], d[i + 1], e[i]
+        d[i] = c * c * di + 2 * c * s * ei + s * s * dip1
+        d[i + 1] = s * s * di - 2 * c * s * ei + c * c * dip1
+        e[i] = c * s * (dip1 - di) + (c * c - s * s) * ei
+        b = np.float32(0)
+        if i + 1 < m:
+            b = s * e[i + 1]
+            e[i + 1] = c * e[i + 1]
+        x, bz = e[i], b
+    d2, e2, c_arr, s_arr = pk.tridiag_sweep_pallas(
+        jnp.asarray(d0), jnp.asarray(e0), jnp.asarray(l, jnp.int32),
+        jnp.asarray(m, jnp.int32), jnp.asarray(mu, jnp.float32))
+    np.testing.assert_allclose(np.asarray(d2), d, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(e2), e, atol=2e-5)
+    pk.tridiag_sweep_pallas.clear_cache()
+
+
+def test_bidiag_sweep_kernel_interpret(monkeypatch):
+    import faer_tpu.ops.pallas.panel_kernels as pk
+
+    _interp(monkeypatch, pk)
+    pk.bidiag_sweep_pallas.clear_cache()
+    rng = np.random.default_rng(4)
+    n = 24
+    d0 = (rng.standard_normal(n) + 2).astype(np.float32)
+    e0 = rng.standard_normal(n - 1).astype(np.float32)
+    l, m = 1, 18
+    d, e = d0.copy(), e0.copy()
+    em2 = e[m - 2] if m >= 2 else np.float32(0)
+    t11 = d[m - 1] ** 2 + em2 ** 2
+    t22 = d[m] ** 2 + e[m - 1] ** 2
+    t12 = d[m - 1] * e[m - 1]
+    delta = (t11 - t22) / 2
+    sq = np.sqrt(delta * delta + t12 ** 2)
+    mu = t22 - t12 ** 2 / (delta + np.sign(delta or 1) * sq)
+    x, bz = np.float32(d[l] ** 2 - mu), np.float32(d[l] * e[l])
+    for i in range(l, m):
+        r1 = np.float32(np.hypot(x, bz))
+        c1, s1 = (np.float32(1), np.float32(0)) if r1 == 0 else (x / r1, bz / r1)
+        if i > l:
+            e[i - 1] = r1
+        di, dip1, ei = d[i], d[i + 1], e[i]
+        ndi = c1 * di + s1 * ei
+        nei = -s1 * di + c1 * ei
+        bulge = s1 * dip1
+        ndip1 = c1 * dip1
+        r2 = np.float32(np.hypot(ndi, bulge))
+        c2, s2 = (np.float32(1), np.float32(0)) if r2 == 0 else (ndi / r2, bulge / r2)
+        d[i] = r2
+        e[i] = c2 * nei + s2 * ndip1
+        d[i + 1] = -s2 * nei + c2 * ndip1
+        b = np.float32(0)
+        if i + 1 < m:
+            b = s2 * e[i + 1]
+            e[i + 1] = c2 * e[i + 1]
+        x, bz = e[i], b
+    d2, e2, *_ = pk.bidiag_sweep_pallas(
+        jnp.asarray(d0), jnp.asarray(e0), jnp.asarray(l, jnp.int32),
+        jnp.asarray(m, jnp.int32), jnp.asarray(mu, jnp.float32))
+    np.testing.assert_allclose(np.asarray(d2), d, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(e2), e, atol=2e-4)
+    pk.bidiag_sweep_pallas.clear_cache()
+
+
+def test_apply_rotation_chain_matches_sequential():
+    from faer_tpu.linalg.tridiag_evd import _apply_rotation_chain
+
+    rng = np.random.default_rng(5)
+    n = 50
+    z = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    theta = rng.uniform(-1, 1, n - 1).astype(np.float32)
+    c = jnp.asarray(np.cos(theta))
+    s = jnp.asarray(np.sin(theta))
+    got = np.asarray(_apply_rotation_chain(z, c, s, chunk=8))
+    ref = np.asarray(z).copy()
+    for i in range(n - 1):
+        zi, zi1 = ref[:, i].copy(), ref[:, i + 1].copy()
+        ref[:, i] = float(c[i]) * zi + float(s[i]) * zi1
+        ref[:, i + 1] = -float(s[i]) * zi + float(c[i]) * zi1
+    np.testing.assert_allclose(got, ref, atol=2e-5)
