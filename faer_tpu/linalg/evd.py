@@ -291,11 +291,29 @@ def _triangular_eigenvectors(t):
     return v / norms[None, :].astype(dtype)
 
 
+def _require_complex_backend(what: str):
+    """This environment's TPU runtime rejects complex element types; fail with
+    an actionable message instead of a deep XLA error."""
+    import jax as _jax
+
+    try:
+        backend = _jax.default_backend()
+    except Exception:  # pragma: no cover
+        return
+    if backend == "tpu":
+        raise NotImplementedError(
+            f"{what} uses complex arithmetic, which this TPU runtime does not "
+            "support. Run it on CPU, e.g. `with "
+            "jax.default_device(jax.devices('cpu')[0]): ...` "
+            "(split re/im TPU support is planned).")
+
+
 def evd(a, *, max_sweeps_factor: int = 30):
     """General eigendecomposition: returns ``(w, v, info)`` with
     ``A v_k = w_k v_k``. Real inputs are complexified (uniform single-shift
     path); faer ``evd_real/evd_cplx`` (``evd/mod.rs:1180,1213``).
     """
+    _require_complex_backend("general eigendecomposition")
     cdt = dtypes.complex_dtype_of(a.dtype)
     ac = a.astype(cdt)
     h, q = hessenberg_in_place(ac)
@@ -307,6 +325,7 @@ def evd(a, *, max_sweeps_factor: int = 30):
 
 
 def eigenvalues(a, *, max_sweeps_factor: int = 30):
+    _require_complex_backend("eigenvalues")
     cdt = dtypes.complex_dtype_of(a.dtype)
     h, q = hessenberg_in_place(a.astype(cdt))
     t, _, _ = complex_schur(h, q, max_sweeps_factor=max_sweeps_factor)

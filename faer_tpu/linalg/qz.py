@@ -210,6 +210,9 @@ def qz_iteration(h, r, q, z, *, max_sweeps_factor: int = 30):
 def qz(a, b, *, max_sweeps_factor: int = 30):
     """Full generalized Schur: returns (S, T, Q, Z, info) with
     ``A = Q S Zᴴ``, ``B = Q T Zᴴ``; α = diag(S), β = diag(T)."""
+    from faer_tpu.linalg.evd import _require_complex_backend
+
+    _require_complex_backend("QZ / generalized eigendecomposition")
     cdt = dtypes.complex_dtype_of(a.dtype)
     h, r, q, z = hessenberg_triangular(a.astype(cdt), b.astype(cdt))
     return qz_iteration(h, r, q, z, max_sweeps_factor=max_sweeps_factor)
