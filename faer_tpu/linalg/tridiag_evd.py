@@ -81,13 +81,24 @@ def _apply_rotation_chain(z, c_arr, s_arr, chunk: int = 64):
     return zp[:, :n]
 
 
-def tridiag_evd(d, e, *, want_vectors: bool = True, max_sweeps_factor: int = 30):
+def tridiag_evd(d, e, *, want_vectors: bool = True, max_sweeps_factor: int = 30,
+                use_dnc: bool | None = None):
     """Eigendecomposition of the symmetric tridiagonal (d, e).
 
     Returns ``(w, z, info)``: ascending eigenvalues ``w``; ``z`` the real
     orthogonal eigenvector matrix of the tridiagonal (or None).
+
+    Large problems route to divide & conquer (GEMM-dominated merges —
+    faer's own large-n choice, ``tridiag_evd.rs:608``); small sizes use the
+    implicit-shift QR iteration.
     """
     n = d.shape[0]
+    if use_dnc is None:
+        use_dnc = n >= 512 and d.dtype in (jnp.float32, jnp.float64)
+    if use_dnc and n > 64:
+        from faer_tpu.linalg.tridiag_dnc import tridiag_evd_dnc
+
+        return tridiag_evd_dnc(d, e, want_vectors=want_vectors)
     rdt = d.dtype
     if n == 1:
         z = jnp.ones((1, 1), rdt) if want_vectors else None
