@@ -114,10 +114,11 @@ def _merge(d1, q1, d2, q2, beta, want_vectors: bool):
     n = n1 + n2
     out_dt = d1.dtype
     # the secular solve and Löwner reconstruction are precision-critical
-    # (pole separations shrink toward eps); run them in f64 — O(n²)
-    # elementwise work, negligible next to the merge GEMMs — and cast the
-    # resulting vectors back for the MXU back-transform
-    rdt = jnp.float64 if jnp.float64.dtype.itemsize == 8 and         jnp.zeros((), jnp.float64).dtype == jnp.float64 else d1.dtype
+    # (pole separations shrink toward eps); when x64 is available run them in
+    # f64 — O(n²) elementwise work, negligible next to the merge GEMMs — and
+    # cast the resulting vectors back for the MXU back-transform. Without x64
+    # (TPU) the pipeline runs in the input dtype (pure f32 validated).
+    rdt = jnp.float64 if jax.config.jax_enable_x64 else d1.dtype
     # z = [last row of Q1, first row of Q2] (the tear vector in eigenbasis)
     if want_vectors:
         z = jnp.concatenate([q1[n1 - 1, :], q2[0, :]])
