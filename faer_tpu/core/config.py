@@ -11,6 +11,7 @@ features. The TPU analogue: a module-level config controlling
 """
 from __future__ import annotations
 
+import contextlib
 import logging
 import os
 import threading
@@ -63,18 +64,47 @@ config = _Config()
 _warned: set[str] = set()
 
 
+def effective_platform() -> str:
+    """Platform whose code path should be traced right now.
+
+    ``jax.default_backend()`` is wrong when arrays live on a non-default
+    backend (e.g. a virtual CPU mesh on a TPU host — the driver's
+    ``dryrun_multichip`` environment). Mesh-level entry points set an explicit
+    override via :func:`platform_scope`; this consults it first.
+    """
+    override = getattr(_state, "platform", None)
+    if override is not None:
+        return override
+    try:
+        return jax.default_backend()
+    except Exception:  # pragma: no cover
+        return "cpu"
+
+
+@contextlib.contextmanager
+def platform_scope(platform: str):
+    """Pin the platform used for fast-path (Pallas) gating during tracing.
+
+    Used by the mesh layer and driver entry points so that code traced for
+    CPU shards never tries to lower Mosaic kernels on a TPU-default host.
+    """
+    prev = getattr(_state, "platform", None)
+    _state.platform = platform
+    try:
+        yield
+    finally:
+        _state.platform = prev
+
+
 def panel_kernels_enabled(dtype) -> bool:
-    """True when the Pallas panel kernels should run (TPU backend + f32)."""
+    """True when the Pallas panel kernels should run (TPU platform + f32)."""
     import jax.numpy as jnp
 
     if not config.use_pallas_panels:
         return False
     if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
         return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    return effective_platform() == "tpu"
 
 
 def perf_warn(key: str, msg: str) -> None:

@@ -97,9 +97,13 @@ def block_cyclic_llt(a, mesh: Mesh, *, axis: str = "p", block: int = 64):
 
     from jax.experimental.shard_map import shard_map
 
+    from faer_tpu.core.config import platform_scope
+
     a_local = _cyclic_to_local(a, nblocks, nproc, block)
     fn = shard_map(body, mesh=mesh, in_specs=P(None, axis), out_specs=P(None, axis))
-    out_local = fn(a_local)
+    # gate fast-path kernels by the mesh's platform, not the default backend
+    with platform_scope(mesh.devices.flat[0].platform):
+        out_local = fn(a_local)
     l = _local_to_cyclic(out_local, nblocks, nproc, block)
     return jnp.tril(l)
 
