@@ -48,12 +48,25 @@ def load_matrix_market(path):
                     vals.append(re + 1j * im)
                 else:
                     vals.append(float(line))
-            a = np.array(vals).reshape((ncols, nrows)).T  # column-major
-            if symm in ("symmetric", "hermitian"):
-                full = np.tril(a) + np.tril(a, -1).T
-                if symm == "hermitian":
-                    full = np.tril(a) + np.conj(np.tril(a, -1)).T
-                a = full
+            vals = np.array(vals)
+            if symm == "general":
+                return vals.reshape((ncols, nrows)).T  # column-major
+            # non-general array files store only the lower triangle,
+            # column-major: n(n+1)/2 values (strict triangle, n(n-1)/2,
+            # for skew-symmetric)
+            a = np.zeros((nrows, ncols), dtype=vals.dtype)
+            k = 0
+            for j in range(ncols):
+                start = j + 1 if symm == "skew-symmetric" else j
+                cnt = nrows - start
+                a[start:, j] = vals[k:k + cnt]
+                k += cnt
+            if symm == "hermitian":
+                a = a + np.conj(np.tril(a, -1)).T
+            elif symm == "skew-symmetric":
+                a = a - a.T
+            else:
+                a = a + np.tril(a, -1).T
             return a
         nnz = int(dims[2])
         rows = np.empty(nnz, dtype=np.int64)

@@ -166,7 +166,9 @@ def _merge(d1, q1, d2, q2, beta, want_vectors: bool):
 
     lam, diff_jl = _secular_solve(d_s, z2, rho_a)   # diff[j,i] = d_j − λ_i
 
-    w = jnp.where(sgn > 0, lam, -lam)
+    # cast the (possibly f64) secular results back so the output dtype matches
+    # the input and the merge GEMMs stay on the MXU fast path
+    w = jnp.where(sgn > 0, lam, -lam).astype(out_dt)
     if not want_vectors:
         srt = jnp.argsort(w)
         return w[srt], None
@@ -228,7 +230,7 @@ def _merge(d1, q1, d2, q2, beta, want_vectors: bool):
     u = jax.lax.fori_loop(0, n - 1, undefl, u)
     # undo the sort permutation on rows, then back-transform with blockdiag Q
     inv = jnp.argsort(order)
-    u = u[inv, :]
+    u = u[inv, :].astype(out_dt)
     qu_top = matmul(None, q1, u[:n1, :])
     qu_bot = matmul(None, q2, u[n1:, :])
     v = jnp.concatenate([qu_top, qu_bot], axis=0)

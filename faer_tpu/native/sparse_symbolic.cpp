@@ -168,10 +168,12 @@ void faer_amd_order(int64_t n, const int64_t* col_ptr, const int64_t* row_idx,
             eu.push_back(eid);
             // approximate external degree
             int64_t approx = (int64_t)au.size();
-            // seen-set via stamping with a fresh key per (u)
+            // seen-set via stamping; the key is a monotone thread-local
+            // counter so stamps left by a previous matrix can never collide
             static thread_local std::vector<int64_t> seen_stamp;
+            static thread_local int64_t stamp_counter = 0;
             if ((int64_t)seen_stamp.size() < n) seen_stamp.assign(n, -1);
-            int64_t key = eid * n + u;  // unique enough per update
+            int64_t key = ++stamp_counter;
             for (int64_t e : eu) {
                 for (int64_t w : elem_bound[e]) {
                     if (!alive[w] || w == u) continue;

@@ -43,7 +43,9 @@ def _lu_panel_kernel(a_ref, o_ref, perm_ref, nt_ref, ok_ref, *, m, b, kmax, mval
         lane_j = lanes == j
         colj = jnp.sum(jnp.where(lane_j, o_ref[:], 0.0), axis=1, keepdims=True)
         mag = jnp.where((rows >= j) & (rows < mvalid), jnp.abs(colj), -1.0)
-        p = jnp.argmax(mag[:, 0]).astype(jnp.int32)
+        # index_dtype pinned to int32: Mosaic only lowers int32 arg-reductions
+        # (and x64 mode would otherwise promote the index to int64)
+        p = jax.lax.argmax(mag[:, 0], axis=0, index_dtype=jnp.int32)
         # swap rows j <-> p (and perm entries)
         rowj = o_ref[pl.ds(j, 1), :]
         rowp = o_ref[pl.ds(p, 1), :]
@@ -53,7 +55,7 @@ def _lu_panel_kernel(a_ref, o_ref, perm_ref, nt_ref, ok_ref, *, m, b, kmax, mval
         pp = perm_ref[pl.ds(p, 1), :]
         perm_ref[pl.ds(j, 1), :] = pp
         perm_ref[pl.ds(p, 1), :] = pj
-        nt = nt + jnp.where(p != j, 1, 0)
+        nt = nt + jnp.where(p != j, jnp.int32(1), jnp.int32(0))
         # pivot = (new) row j, lane j
         pivot = jnp.sum(jnp.where(lane_j, rowp, 0.0))
         ok = ok & (pivot != 0)
@@ -70,7 +72,7 @@ def _lu_panel_kernel(a_ref, o_ref, perm_ref, nt_ref, ok_ref, *, m, b, kmax, mval
         return nt, ok
 
     nt, ok = jax.lax.fori_loop(
-        0, kmax, body, (jnp.zeros((), jnp.int32), jnp.ones((), jnp.bool_)))
+        jnp.int32(0), jnp.int32(kmax), body, (jnp.zeros((), jnp.int32), jnp.ones((), jnp.bool_)))
     nt_ref[0, 0] = nt
     ok_ref[0, 0] = ok.astype(jnp.int32)
 
@@ -125,7 +127,7 @@ def _llt_block_kernel(a_ref, o_ref, cnt_ref, ok_ref, *, b, bvalid, eps, delta):
         ok = ok & (pj > 0)
         if eps > 0:
             pj = jnp.where(needs, eps, pj)
-            cnt = cnt + jnp.where(needs, 1, 0)
+            cnt = cnt + jnp.where(needs, jnp.int32(1), jnp.int32(0))
         else:
             pj = jnp.where(pj <= 0, 1.0, pj)
         piv = jnp.sqrt(pj)
@@ -140,7 +142,7 @@ def _llt_block_kernel(a_ref, o_ref, cnt_ref, ok_ref, *, b, bvalid, eps, delta):
         return cnt, ok
 
     cnt, ok = jax.lax.fori_loop(
-        0, bvalid, body, (jnp.zeros((), jnp.int32), jnp.ones((), jnp.bool_)))
+        jnp.int32(0), jnp.int32(bvalid), body, (jnp.zeros((), jnp.int32), jnp.ones((), jnp.bool_)))
     cnt_ref[0, 0] = cnt
     ok_ref[0, 0] = ok.astype(jnp.int32)
 
@@ -193,7 +195,9 @@ def _qr_panel_kernel(a_ref, o_ref, tau_ref, *, m, b, kmax, mvalid):
         below = (rows > j) & valid
         tail_sq = jnp.sum(jnp.where(below, colj * colj, 0.0))
         norm = jnp.sqrt(alpha * alpha + tail_sq)
-        sign = jnp.where(alpha >= 0, 1.0, -1.0)
+        # both branches literal → must carry the panel dtype explicitly (an
+        # all-literal where is weak f64 under jax_enable_x64)
+        sign = jnp.where(alpha >= 0, jnp.ones_like(alpha), -jnp.ones_like(alpha))
         beta = -sign * norm
         is_id = tail_sq == 0.0
         s = alpha - beta
@@ -211,9 +215,9 @@ def _qr_panel_kernel(a_ref, o_ref, tau_ref, *, m, b, kmax, mvalid):
         packed_col = jnp.where(rows == j, beta, jnp.where(below, v, colj))
         o_ref[:] = jnp.where(lane_j, packed_col,
                              jnp.where(lanes > j, o_ref[:] - upd, o_ref[:]))
-        return 0
+        return jnp.int32(0)
 
-    jax.lax.fori_loop(0, kmax, body, 0)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(kmax), body, jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -312,7 +316,7 @@ def _tridiag_sweep_kernel(lm_ref, mu_ref, d_ref, e_ref,
         new_x = jnp.where(active, new_ei, x)
         return new_x, new_bz
 
-    jax.lax.fori_loop(0, n - 1, body, (x0, z0))
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n - 1), body, (x0, z0))
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -424,7 +428,7 @@ def _bidiag_sweep_kernel(lm_ref, mu_ref, d_ref, e_ref,
         new_x = jnp.where(active, e2v, x)
         return new_x, new_bz
 
-    jax.lax.fori_loop(0, n - 1, body, (x0, z0))
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n - 1), body, (x0, z0))
 
 
 @functools.partial(jax.jit, static_argnames=())
