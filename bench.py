@@ -25,26 +25,36 @@ import jax
 import jax.numpy as jnp
 
 
-def _once(f) -> float:
-    t0 = time.perf_counter()
-    float(f())
-    return time.perf_counter() - t0
-
-
-def _timeit(make_out, reps: int = 11, best: bool = True) -> float:
-    """Best (default) or median of per-rep wall times. The shared tunnel's
-    throughput varies 2-4x across seconds-long windows; peak-vs-peak (both the
-    factor numerator and the matmul-roofline denominator take their best rep)
-    is the stable, comparable measurement."""
-    f = jax.jit(make_out)
-    float(f())  # compile + warm
+def _rtt() -> float:
+    """Tunnel round-trip for a no-op dispatch + host read."""
+    z = jnp.zeros(())
+    f = jax.jit(lambda v: v + 1)
+    float(f(z))
     ts = []
-    for _ in range(reps):
+    for _ in range(7):
         t0 = time.perf_counter()
-        float(f())
+        float(f(z))
         ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return ts[0] if best else ts[len(ts) // 2]
+    return min(ts)
+
+
+CHAIN = 4
+
+
+def _make_chain(step, x0):
+    """K data-dependent iterations inside ONE jitted program.
+
+    The tunnel has ~25 ms RTT, ~3 ms per-dispatch overhead, and caches
+    identical dispatch requests, so separate dispatches measure the tunnel,
+    not the chip. A fori_loop chain with the output folded back into the
+    input isolates device time; per-op time = (wall - rtt) / CHAIN.
+    """
+    @jax.jit
+    def run(x):
+        return jax.lax.fori_loop(0, CHAIN, lambda i, v: step(v), x)
+
+    float(jnp.max(jnp.abs(run(x0))))  # compile + warm
+    return run, x0
 
 
 def log(msg: str) -> None:
@@ -64,44 +74,38 @@ def main() -> None:
     g = jax.random.normal(key, (n, n), jnp.float32)
     a_spd = (g @ g.T / n + jnp.eye(n, dtype=jnp.float32)).block_until_ready()
 
-    rtt = _timeit(lambda: jnp.float32(1.0) + 1.0, reps=11, best=True)
-    log(f"host<->device round-trip: {rtt*1e3:.1f} ms (subtracted)")
-
-    # empirical matmul roofline at the library's f32 precision policy —
-    # best-of-reps over a long in-jit chain (the denominator must be stable;
-    # single short chains vary 2-3× with tunnel noise)
-    chain_len = 20
-
-    def mm_chain():
-        def body(i, y):
-            return jax.lax.dot(y, g, precision=jax.lax.Precision.HIGHEST
-                               if os.environ.get("FAER_TPU_F32_PRECISION") == "highest"
-                               else jax.lax.Precision.HIGH)
-        y = jax.lax.fori_loop(0, chain_len, body, g)
-        return jnp.sum(y)
-
-    f = jax.jit(mm_chain)
-    float(f())
-    best = min(_once(f) for _ in range(5))
-    t_mm = max(best - rtt, 1e-9) / chain_len
-    peak = 2 * n**3 / t_mm
-    log(f"empirical matmul roofline: {peak/1e12:.2f} TFLOP/s ({t_mm*1e3:.2f} ms per {n}³ GEMM)")
-
-    results = {}
+    prec = (jax.lax.Precision.HIGHEST
+            if os.environ.get("FAER_TPU_F32_PRECISION") == "highest"
+            else jax.lax.Precision.HIGH)
+    runs = {
+        "mm": _make_chain(lambda x: jax.lax.dot(x, x, precision=prec)
+                          * jnp.float32(1.0 / n), g),
+        "llt": _make_chain(lambda x: a_spd + llt_factor(x)[0] * 1e-30, a_spd),
+        "lu": _make_chain(lambda x: g + lu_in_place(x)[0] * 1e-30, g),
+        "qr": _make_chain(lambda x: g + qr_in_place(x)[0] * 1e-30, g),
+    }
     flops = {
+        "mm": 2 * n**3,
         "llt": n**3 / 3,
         "lu": 2 * n**3 / 3,
         "qr": 4 * n**3 / 3,
     }
-    t = _timeit(lambda: jnp.sum(llt_factor(a_spd)[0])) - rtt
-    results["llt"] = flops["llt"] / t
-    log(f"llt  {n}: {t*1e3:7.1f} ms  {results['llt']/1e9:8.0f} GFLOP/s")
-    t = _timeit(lambda: jnp.sum(lu_in_place(g)[0])) - rtt
-    results["lu"] = flops["lu"] / t
-    log(f"lu   {n}: {t*1e3:7.1f} ms  {results['lu']/1e9:8.0f} GFLOP/s")
-    t = _timeit(lambda: jnp.sum(qr_in_place(g)[0])) - rtt
-    results["qr"] = flops["qr"] / t
-    log(f"qr   {n}: {t*1e3:7.1f} ms  {results['qr']/1e9:8.0f} GFLOP/s")
+    # interleave reps across all measurements so tunnel-contention windows
+    # hit numerator and denominator alike; take per-metric best
+    best = {k: 9e9 for k in runs}
+    for rep in range(6):
+        rtt = _rtt()
+        for name, (run, x0) in runs.items():
+            t0 = time.perf_counter()
+            float(jnp.max(jnp.abs(run(x0))))
+            best[name] = min(best[name], (time.perf_counter() - t0 - rtt) / CHAIN)
+    peak = flops["mm"] / best["mm"]
+    log(f"empirical matmul roofline: {peak/1e12:.2f} TFLOP/s "
+        f"({best['mm']*1e3:.2f} ms per {n}³ GEMM)")
+    results = {}
+    for name in ("llt", "lu", "qr"):
+        results[name] = flops[name] / best[name]
+        log(f"{name:4s} {n}: {best[name]*1e3:7.1f} ms  {results[name]/1e9:8.0f} GFLOP/s")
 
     geomean = math.exp(sum(math.log(v) for v in results.values()) / len(results))
     out = {

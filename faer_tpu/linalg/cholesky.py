@@ -119,19 +119,30 @@ def llt_factor(a, *, reg: LltRegularization | None = None,
     count = jnp.zeros((), jnp.int32)
     ok = jnp.ones((), jnp.bool_)
 
+    # right-looking over a *shrinking* trailing matrix: the GEMM that forms
+    # the next trail IS the carried value, and finished panels are stacked as
+    # column strips at the end — no dynamic_update_slice round-trips through
+    # the full n² buffer (those cost a full-matrix copy each on XLA)
+    trail = a
+    strips = []
     for k in range(0, n, block):
         bw = min(block, n - k)
-        d, c, o = _llt_panel_recursive(a[k:k + bw, k:k + bw], reg, base)
+        d, c, o = _llt_panel_recursive(trail[:bw, :bw], reg, base)
         count, ok = count + c, ok & o
-        a = jax.lax.dynamic_update_slice(a, d, (k, k))
         if k + bw < n:
             linv = invert_lower_triangular(d, base=bw)
-            l21 = matmul(None, a[k + bw:, k:k + bw], jnp.conj(linv).T)
-            a22 = a[k + bw:, k + bw:] - matmul(None, l21, jnp.conj(l21).T)
-            a = jax.lax.dynamic_update_slice(a, l21, (k + bw, k))
-            a = jax.lax.dynamic_update_slice(a, a22, (k + bw, k + bw))
+            l21 = matmul(None, trail[bw:, :bw], jnp.conj(linv).T)
+            trail = trail[bw:, bw:] - matmul(None, l21, jnp.conj(l21).T)
+            strip = jnp.concatenate([jnp.tril(d), l21], axis=0)
+        else:
+            strip = jnp.tril(d)
+        if k > 0:
+            strip = jnp.concatenate(
+                [jnp.zeros((k, bw), a.dtype), strip], axis=0)
+        strips.append(strip)
 
-    return jnp.tril(a), LltInfo(dynamic_regularization_count=count, success=ok)
+    l = strips[0] if len(strips) == 1 else jnp.concatenate(strips, axis=1)
+    return l, LltInfo(dynamic_regularization_count=count, success=ok)
 
 
 @jax.jit

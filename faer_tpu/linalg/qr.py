@@ -124,9 +124,10 @@ def _panel_qr_blocked(panel, base: int):
         from faer_tpu.core.config import panel_kernels_enabled
 
         if panel_kernels_enabled(panel.dtype) and not _dt.is_complex(panel.dtype):
-            from faer_tpu.ops.pallas.panel_kernels import qr_panel_pallas
+            # transposed sub-blocked kernel (see ops/pallas/qr_panel_v2.py)
+            from faer_tpu.ops.pallas.qr_panel_v2 import qr_panel_v2_pallas
 
-            return qr_panel_pallas(panel)
+            return qr_panel_v2_pallas(panel)
         return _panel_qr(panel)
     h = (b + 1) // 2
     left, taus1 = _panel_qr_blocked(panel[:, :h], base)
@@ -151,19 +152,52 @@ def _qr_in_place_impl(a, params: QrParams):
     base = 128 if panel_kernels_enabled(a.dtype) else 32
     t_stack = []
 
+    # right-looking over a shrinking trail (rows k:, cols k:); each panel's
+    # top bw rows of the applied block are final R12 rows — peel them off and
+    # assemble column strips at the end instead of paying a full n² copy per
+    # dynamic_update_slice write-back
+    trail = a
+    panels = []              # [(k, packed (m - k, bw))]
+    r12s = {}                # k -> (bw, n - k - bw) finalized R rows
     for k in range(0, kmax, block):
         bw = min(block, kmax - k)
-        panel, taus = _panel_qr_blocked(a[k:, k:k + bw], base)
+        panel, taus = _panel_qr_blocked(trail[:, :bw], base)
         v = _extract_v(panel, bw)
         t = form_block_t(v, taus)
         t_pad = t if bw == block else jnp.zeros((block, block), a.dtype).at[:bw, :bw].set(t)
         t_stack.append(t_pad)
-        a = jax.lax.dynamic_update_slice(a, panel, (k, k))
+        panels.append((k, panel))
         if k + bw < n:
-            right = apply_block_on_left(v, t, a[k:, k + bw:], adjoint=True)
-            a = jax.lax.dynamic_update_slice(a, right, (k, k + bw))
+            right = apply_block_on_left(v, t, trail[:, bw:], adjoint=True)
+            r12s[k] = right[:bw]
+            trail = right[bw:]
 
-    return a, jnp.stack(t_stack)
+    strips = []
+    starts = [ks for ks, _ in panels]
+    for idx, (ks, panel) in enumerate(panels):
+        bw = panel.shape[1]
+        pieces = []
+        for i in range(idx):
+            ksi, bwi = starts[i], panels[i][1].shape[1]
+            pieces.append(r12s[ksi][:, ks - ksi - bwi: ks - ksi - bwi + bw])
+        pieces.append(panel)
+        strips.append(jnp.concatenate(pieces, axis=0) if len(pieces) > 1
+                      else panel)
+    if n > kmax:
+        tailcols = []
+        for ksi, p in panels:
+            bwi = p.shape[1]
+            if ksi in r12s:
+                tailcols.append(r12s[ksi][:, kmax - ksi - bwi:])
+        rest = jnp.concatenate(tailcols, axis=0)
+        if rest.shape[0] < m:
+            rest = jnp.concatenate(
+                [rest, jnp.zeros((m - rest.shape[0], rest.shape[1]), a.dtype)],
+                axis=0)
+        strips.append(rest)
+    out = strips[0] if len(strips) == 1 else jnp.concatenate(strips, axis=1)
+
+    return out, jnp.stack(t_stack)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "thin"))

@@ -249,6 +249,73 @@ def qr_panel_pallas(panel):
 
 
 # ---------------------------------------------------------------------------
+# triangular inverse (TRTRI)
+# ---------------------------------------------------------------------------
+
+def _trtri_kernel(t_ref, o_ref, *, n, nvalid, unit):
+    """inv(L) for lower-triangular L via the Neumann doubling identity.
+
+    ``L = D(I + M)`` with M strictly lower (nilpotent) →
+    ``(I + M)^{-1} = Σ (−M)^i`` computed in ⌈log2 n⌉ doubling steps of two MXU
+    matmuls each, plus one Newton–Schulz refinement — all inside ONE kernel.
+    Replaces a chain of ~18 separately-dispatched tiny XLA GEMMs (each pays
+    ~10-20 µs dispatch latency) with ~15 µs total in-VMEM work.
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    valid = (rows < nvalid) & (lanes < nvalid)
+    eye = jnp.where(rows == lanes, 1.0, 0.0).astype(o_ref.dtype)
+    t = t_ref[:]
+    strict = jnp.where((rows > lanes) & valid, t, 0.0)
+    if unit:
+        dinv = jnp.ones((n, 1), o_ref.dtype)
+    else:
+        d = jnp.sum(jnp.where((rows == lanes) & valid, t, 0.0),
+                    axis=1, keepdims=True)                     # (n, 1)
+        d = jnp.where(jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) < nvalid,
+                      d, 1.0)
+        dinv = 1.0 / d
+    m = strict * dinv                                          # rows scaled
+
+    def mm(a, b):
+        # HIGHEST: true-f32 MXU passes — the inverse is sensitivity-critical
+        # (error amplified by ‖L⁻¹‖ downstream); bf16 default loses 4 digits
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=jnp.float32)
+
+    p = -m
+    s = eye + p
+    span = 2
+    while span < nvalid:
+        p = mm(p, p)
+        s = s + mm(p, s)
+        span *= 2
+    s = s * jnp.reshape(dinv, (1, n))                          # cols scaled
+    # Newton–Schulz: squares the Neumann sum's residual (full-dtype accuracy)
+    tt = strict + (eye if unit else eye / dinv)                # L, padded = I
+    s = s + mm(s, eye - mm(tt, s))
+    o_ref[:] = jnp.where(rows >= lanes, s, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("unit",))
+def trtri_pallas(t, *, unit: bool = False):
+    """inv(L) of an (n, n) f32 lower-triangular block in one Mosaic kernel."""
+    n = t.shape[0]
+    np_ = max(_round_up(n, 128), 128)
+    if np_ != n:
+        t = jnp.pad(t, ((0, np_ - n), (0, np_ - n)))
+    kernel = functools.partial(_trtri_kernel, n=np_, nvalid=n, unit=unit)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((np_, np_), t.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(t)
+    return out[:n, :n]
+
+
+# ---------------------------------------------------------------------------
 # tridiagonal implicit-QR sweep
 # ---------------------------------------------------------------------------
 

@@ -145,6 +145,14 @@ def invert_lower_triangular(t, *, unit: bool = False, base: int | None = None):
     """
     n = t.shape[0]
     base = base or _BASE
+    from faer_tpu.core.config import panel_kernels_enabled
+
+    if n <= 1024 and panel_kernels_enabled(t.dtype):
+        # single fused Mosaic kernel: ~15 µs vs ~0.3 ms for the dispatched
+        # tiny-GEMM chain (each doubling step pays XLA launch latency)
+        from faer_tpu.ops.pallas.panel_kernels import trtri_pallas
+
+        return trtri_pallas(t, unit=unit)
     if n <= base:
         return _inv_lower_base(t, unit)
     h = (n + 1) // 2
