@@ -143,17 +143,14 @@ def lu_in_place(a, params: PartialPivLuParams | None = None):
     trail = a                 # (m - k, n - k)
     panels = []               # [(k, packed (m-k, bw))]
     u12s = {}                 # k -> (bw, n - k - bw), finalized U rows
+    local_perms = []
     for k in range(0, kmax, block):
         bw = min(block, kmax - k)
         panel, local_perm, pnt, pok = _panel_lu_blocked(trail[:, :bw], base)
         nt = nt + pnt
         ok = ok & pok
         perm = perm.at[k:].set(jnp.take(perm[k:], local_perm))
-        # the panel's row permutation reorders every earlier panel's sub-rows
-        for i, (ks, arr) in enumerate(panels):
-            off = k - ks
-            panels[i] = (ks, jnp.concatenate(
-                [arr[:off], jnp.take(arr[off:], local_perm, axis=0)], axis=0))
+        local_perms.append(local_perm)
         if k + bw < n:
             from faer_tpu.ops.triangular import invert_lower_triangular
 
@@ -167,6 +164,27 @@ def lu_in_place(a, params: PartialPivLuParams | None = None):
             if m - k - bw > 0:
                 trail = right[bw:] - matmul(None, panel[bw:, :bw], u12)
         panels.append((k, panel))
+
+    # compose the later panels' row permutations backward so each strip is
+    # gathered exactly ONCE (not re-permuted on every subsequent panel):
+    # T_j maps final row order of the time-j trail to its pre-panel order
+    tails = [None] * len(panels)
+    tail_next = None          # T_{j+1}, length = rows of trail at time j+1
+    for j in range(len(panels) - 1, -1, -1):
+        lp = local_perms[j]
+        bwj = panels[j][1].shape[1]
+        if tail_next is None or lp.shape[0] <= bwj:
+            t_j = lp
+        else:
+            t_j = jnp.concatenate([lp[:bwj], jnp.take(lp[bwj:], tail_next)])
+        tails[j] = tail_next   # composition of perms STRICTLY after panel j
+        tail_next = t_j
+    for j, (ks, panel) in enumerate(panels):
+        bwj = panel.shape[1]
+        if tails[j] is not None and panel.shape[0] > bwj:
+            idx = jnp.concatenate(
+                [jnp.arange(bwj, dtype=jnp.int32), bwj + tails[j]])
+            panels[j] = (ks, jnp.take(panel, idx, axis=0))
 
     # assemble the packed LU: column strip j = stacked U12 pieces from earlier
     # panels + its own packed panel (+ zero fill below for m > n strips)
