@@ -9,13 +9,16 @@ Reference parity (SURVEY §2.4):
   (``schur/{real,complex}_schur.rs``) → triangular eigenvector solve
   (``evd/mod.rs:670-882``).
 
-TPU-native design: real inputs are routed through the complex single-shift QR
-path (one uniform bulge-free Rayleigh-shift iteration in a ``while_loop`` with
-masked deflation) rather than a port of the real 2×2-block Francis/AED machinery
-— uniform complex arithmetic trades constant-factor FLOPs for compiler-friendly
-control flow; multishift+AED is the planned perf upgrade (SURVEY §7 hard parts).
+TPU-native design: real inputs run the REAL Francis double-shift path
+(``real_schur.py`` — quasi-triangular Schur form, eigenvalues/eigenvectors as
+(re, im) pairs so everything executes on this complex-free TPU runtime);
+complex inputs use the uniform complex single-shift QR path below.  Both
+eigenvector phases are one batched ``lax.scan`` (``eigvec.py``), not a
+per-column trace-time loop.
 """
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +29,6 @@ from faer_tpu.core.flags import Side
 from faer_tpu.linalg.tridiag import tridiag_apply_q, tridiag_in_place
 from faer_tpu.linalg.tridiag_evd import tridiag_evd
 from faer_tpu.ops.matmul import matmul
-from faer_tpu.ops.triangular_solve import solve_upper_triangular
 
 
 @jax.jit
@@ -256,39 +258,21 @@ def complex_schur(h, q, *, max_sweeps_factor: int = 30):
     return t, q, SpectralInfo(converged=hi == 0, iterations=it)
 
 
-def _triangular_eigenvectors(t):
-    """Right eigenvectors of upper-triangular T (unit-normalized columns).
+def _combine_pair(re, im):
+    """re + i·im as a native complex array when the data lives on a
+    complex-capable device, else a host numpy complex array (this TPU
+    runtime has no complex element types)."""
+    cdt = dtypes.complex_dtype_of(re.dtype)
+    try:
+        platform = next(iter(re.devices())).platform
+    except Exception:  # traced values — assume complex-capable
+        platform = "cpu"
+    if platform in ("cpu", "gpu", "cuda", "rocm"):
+        return re.astype(cdt) + jnp.asarray(1j, cdt) * im.astype(cdt)
+    import numpy as np
 
-    Column k solves (T − t_kk I) x = 0 with x[k] = 1, x[k+1:] = 0 — a shifted
-    upper-triangular back-substitution per eigenvalue, vectorized by solving
-    all shifted systems batched (one triangular solve per column, trace-time
-    loop). faer's shifted quasi-triangular solves (``evd/mod.rs:670-882``).
-    """
-    n = t.shape[0]
-    dtype = t.dtype
-    eps = dtypes.eps(dtype)
-    diag = jnp.diagonal(t)
-    cols = []
-    tnorm = jnp.max(jnp.abs(t))
-    for k in range(n):
-        if k == 0:
-            cols.append(jnp.zeros((n,), dtype).at[0].set(1))
-            continue
-        lam = diag[k]
-        tk = t[:k, :k]
-        dshift = jnp.diagonal(tk) - lam
-        # regularize near-singular shifts (clustered eigenvalues)
-        floor = (eps * jnp.maximum(tnorm, 1.0)).astype(dtype)
-        small = jnp.abs(dshift) < jnp.abs(floor)
-        dshift = jnp.where(small, floor, dshift)
-        tshift = tk - jnp.diag(jnp.diagonal(tk)) + jnp.diag(dshift)
-        rhs = -t[:k, k][:, None]
-        x = solve_upper_triangular(tshift, rhs)[:, 0]
-        col = jnp.zeros((n,), dtype).at[:k].set(x).at[k].set(1)
-        cols.append(col)
-    v = jnp.stack(cols, axis=1)
-    norms = jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=0))
-    return v / norms[None, :].astype(dtype)
+    return np.asarray(jax.device_get(re)).astype(cdt) + 1j * np.asarray(
+        jax.device_get(im)).astype(cdt)
 
 
 def _require_complex_backend(what: str):
@@ -308,25 +292,61 @@ def _require_complex_backend(what: str):
             "(split re/im TPU support is planned).")
 
 
+@functools.partial(jax.jit, static_argnames=("max_sweeps_factor",))
+def evd_pair(a, *, max_sweeps_factor: int = 30):
+    """General REAL eigendecomposition as (re, im) pairs — fully jittable and
+    TPU-native.  Returns ``((wr, wi), (vr, vi), info)`` with
+    ``A (vr+i·vi)_k = (wr+i·wi)_k (vr+i·vi)_k``; conjugate eigenpairs are
+    adjacent.  faer ``evd_real`` (``evd/mod.rs:1213``) via the real Francis
+    double-shift Schur (``real_schur.rs:2117``)."""
+    from faer_tpu.linalg.eigvec import quasi_triangular_eigenvectors_pair
+    from faer_tpu.linalg.real_schur import real_schur, schur_eigenvalues_pair
+
+    h, q = hessenberg_in_place(a)
+    t, qs, info = real_schur(h, q, max_sweeps_factor=max_sweeps_factor)
+    wr, wi = schur_eigenvalues_pair(t)
+    xr, xi = quasi_triangular_eigenvectors_pair(t, wr, wi)
+    vr = matmul(None, qs, xr)
+    vi = matmul(None, qs, xi)
+    return (wr, wi), (vr, vi), info
+
+
+@functools.partial(jax.jit, static_argnames=("max_sweeps_factor",))
+def eigenvalues_pair(a, *, max_sweeps_factor: int = 30):
+    """Eigenvalues of a real matrix as ``(re, im)`` — jittable, TPU-native."""
+    from faer_tpu.linalg.real_schur import real_schur, schur_eigenvalues_pair
+
+    h, q = hessenberg_in_place(a)
+    t, _, _ = real_schur(h, q, max_sweeps_factor=max_sweeps_factor)
+    return schur_eigenvalues_pair(t)
+
+
 def evd(a, *, max_sweeps_factor: int = 30):
     """General eigendecomposition: returns ``(w, v, info)`` with
-    ``A v_k = w_k v_k``. Real inputs are complexified (uniform single-shift
-    path); faer ``evd_real/evd_cplx`` (``evd/mod.rs:1180,1213``).
+    ``A v_k = w_k v_k``. Real inputs use the real Francis double-shift path
+    (no complexification tax, runs on TPU); complex inputs use the uniform
+    complex single-shift path. faer ``evd_real/evd_cplx``
+    (``evd/mod.rs:1180,1213``).
     """
+    if not dtypes.is_complex(a.dtype):
+        (wr, wi), (vr, vi), info = evd_pair(a, max_sweeps_factor=max_sweeps_factor)
+        return _combine_pair(wr, wi), _combine_pair(vr, vi), info
     _require_complex_backend("general eigendecomposition")
-    cdt = dtypes.complex_dtype_of(a.dtype)
-    ac = a.astype(cdt)
-    h, q = hessenberg_in_place(ac)
+    from faer_tpu.linalg.eigvec import triangular_eigenvectors
+
+    h, q = hessenberg_in_place(a)
     t, qs, info = complex_schur(h, q, max_sweeps_factor=max_sweeps_factor)
     w = jnp.diagonal(t)
-    vt = _triangular_eigenvectors(t)
+    vt = triangular_eigenvectors(t)
     v = matmul(None, qs, vt)
     return w, v, info
 
 
 def eigenvalues(a, *, max_sweeps_factor: int = 30):
+    if not dtypes.is_complex(a.dtype):
+        wr, wi = eigenvalues_pair(a, max_sweeps_factor=max_sweeps_factor)
+        return _combine_pair(wr, wi)
     _require_complex_backend("eigenvalues")
-    cdt = dtypes.complex_dtype_of(a.dtype)
-    h, q = hessenberg_in_place(a.astype(cdt))
+    h, q = hessenberg_in_place(a)
     t, _, _ = complex_schur(h, q, max_sweeps_factor=max_sweeps_factor)
     return jnp.diagonal(t)
