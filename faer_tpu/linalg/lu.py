@@ -76,6 +76,66 @@ def _panel_lu(panel):
     return a, perm, nt, ok
 
 
+# Tournament pivoting kicks in for leaf panels taller than this.  Effectively
+# disabled for now: with the VMEM-chunked v2 kernel the direct path measures
+# faster at 4096 (CALU: 11.7 ms vs 8.0 ms full LU); revisit for m >> 4096.
+_CALU_GROUP = 1 << 30
+
+
+def _perm_parity(perm):
+    """Parity of a permutation vector (for the determinant sign): inversion
+    count mod 2 via one (m, m) comparison reduce."""
+    m = perm.shape[0]
+    i = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+    inv = jnp.sum(((i < j) & (perm[:, None] > perm[None, :])).astype(jnp.int32))
+    return inv % 2
+
+
+def _lu_leaf_calu(panel, group: int = _CALU_GROUP):
+    """Tournament (CALU) pivoting for a tall leaf panel (m, b).
+
+    faer's panel uses per-column partial pivoting
+    (``lu/partial_pivoting/factor.rs``); on TPU the per-column argmax chain
+    over m lanes is the serial floor, and its cost grows superlinearly with m
+    in the Mosaic kernel.  CALU (Grigori et al.) picks all b pivots at once
+    via a reduction tournament: factor row-groups independently, re-factor
+    the stacked per-group pivot candidates, then build L for the remaining
+    rows as one GEMM against U₁₁⁻¹.  Pivots differ from strict partial
+    pivoting but the growth factor stays bounded (communication-avoiding LU,
+    backward stable in practice).
+    """
+    from faer_tpu.ops.pallas.lu_panel_v2 import lu_panel_v2_pallas
+    from faer_tpu.ops.triangular import invert_upper_triangular
+
+    m, b = panel.shape
+    ng = -(-m // group)
+    mp = ng * group
+    padded = panel if mp == m else jnp.concatenate(
+        [panel, jnp.zeros((mp - m, b), panel.dtype)], axis=0)
+    cands = []
+    for g in range(ng):
+        sub = padded[g * group:(g + 1) * group]
+        _, perm_g, _, _ = lu_panel_v2_pallas(sub)
+        cands.append(g * group + perm_g[:b])
+    cand = jnp.concatenate(cands)                    # (ng·b,) global indices
+    stacked = jnp.take(padded, cand, axis=0)         # original candidate rows
+    packed2, perm2, _, ok = lu_panel_v2_pallas(stacked)
+    win = jnp.take(cand, perm2[:b])                  # global pivot rows
+    # physical order: pivots first (elimination order), then the rest
+    big = jnp.int32(m + b)
+    ranks = jnp.full((m,), big, jnp.int32)
+    ranks = ranks.at[win].set(jnp.arange(b, dtype=jnp.int32), mode="drop")
+    ranks = jnp.where(ranks < big, ranks, b + jnp.arange(m, dtype=jnp.int32))
+    perm = jnp.argsort(ranks).astype(jnp.int32)
+    rest = perm[b:]
+    u11inv = invert_upper_triangular(jnp.triu(packed2[:b, :b]))
+    l21 = matmul(None, jnp.take(panel, rest, axis=0), u11inv,
+                 precision=jax.lax.Precision.HIGHEST)
+    packed = jnp.concatenate([packed2[:b], l21], axis=0)
+    return packed, perm, _perm_parity(perm), ok
+
+
 def _panel_lu_blocked(panel, base: int):
     """Two-level panel LU: recursive column-halving down to a fori base.
 
@@ -89,6 +149,10 @@ def _panel_lu_blocked(panel, base: int):
         from faer_tpu.core.config import panel_kernels_enabled
 
         if panel_kernels_enabled(panel.dtype):
+            if m > _CALU_GROUP:
+                # tournament pivoting: the kernel's per-step cost grows
+                # superlinearly with lanes past ~2k rows
+                return _lu_leaf_calu(panel)
             # transposed virtual-pivot kernel: ~5x the v1 per-step throughput
             # (sub-block eager updates touch (8, m), not (b, m))
             from faer_tpu.ops.pallas.lu_panel_v2 import lu_panel_v2_pallas

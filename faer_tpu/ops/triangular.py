@@ -144,10 +144,16 @@ def invert_lower_triangular(t, *, unit: bool = False, base: int | None = None):
     panel-sized inverses inside the factorizations use ``base = n``.
     """
     n = t.shape[0]
-    base = base or _BASE
+    # Neumann-doubling (both the fused kernel and _inv_lower_base) forms the
+    # powers M^k whose entries can grow combinatorially (up to ~C(n−1, k))
+    # before nilpotency truncates them — past ~128 this overflows f32 and
+    # silently corrupts the inverse (observed: 512-block panel inverses took
+    # the 2048+ LU reconstruction error to 1e5).  Cap both at 128; larger
+    # blocks use the backward-stable recursive combine below.
+    base = min(base or _BASE, 128)
     from faer_tpu.core.config import panel_kernels_enabled
 
-    if n <= 1024 and panel_kernels_enabled(t.dtype):
+    if n <= 128 and panel_kernels_enabled(t.dtype):
         # single fused Mosaic kernel: ~15 µs vs ~0.3 ms for the dispatched
         # tiny-GEMM chain (each doubling step pays XLA launch latency)
         from faer_tpu.ops.pallas.panel_kernels import trtri_pallas

@@ -88,3 +88,34 @@ def test_lu_singular_flags():
     a = jnp.zeros((5, 5), jnp.float64)
     _, _, info = lu.lu_in_place(a)
     assert not bool(info.success)
+
+
+def test_lu_wide_panel_block():
+    # regression: 512-wide panels route the U12 solve through a 512-block
+    # triangular inverse; the Neumann-doubling base overflowed f32 there
+    # (intermediate M^k entries grow ~C(n,k)) and silently corrupted every
+    # n >= 2048 factorization until the base was capped at 128
+    n = 1024
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    packed, perm, info = lu.lu_in_place(a, PartialPivLuParams(block_size=512))
+    pn = np.asarray(packed, np.float64)
+    l = np.tril(pn, -1) + np.eye(n)
+    u = np.triu(pn)
+    an = np.asarray(a, np.float64)[np.asarray(perm)]
+    err = np.linalg.norm(l @ u - an) / np.linalg.norm(an)
+    assert err < 5e-4
+
+
+def test_invert_triangular_large_block():
+    # regression: the matmul-only Neumann base must not be used past 128
+    from faer_tpu.ops.triangular import invert_lower_triangular
+
+    n = 512
+    rng = np.random.default_rng(1)
+    l = jnp.asarray(np.tril(rng.standard_normal((n, n)), -1) * 0.5 + np.eye(n),
+                    jnp.float32)
+    inv = np.asarray(invert_lower_triangular(l, unit=True, base=n), np.float64)
+    r = np.asarray(l, np.float64) @ inv - np.eye(n)
+    assert np.isfinite(inv).all()
+    assert np.abs(r).max() / max(1.0, np.abs(inv).max()) < 1e-5
