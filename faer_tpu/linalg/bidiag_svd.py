@@ -20,12 +20,22 @@ from faer_tpu.linalg.tridiag_evd import _givens_real, _wilkinson_shift
 
 
 def bidiag_svd(d, e, *, want_u: bool = True, want_v: bool = True,
-               max_sweeps_factor: int = 30):
+               max_sweeps_factor: int = 30, use_dnc: bool | None = None):
     """SVD of B = bidiag(d, e) (d: (n,), e: (n-1,), both real).
 
     Returns ``(s, u, v, info)`` with ``B = U diag(s) Vᵀ``, s descending ≥ 0.
+
+    Large problems route to divide & conquer (GEMM-dominated merges, faer's
+    own large-n choice — ``bidiag_svd.rs:1005``); small sizes use the
+    implicit-shift Golub–Kahan QR iteration below.
     """
     n = d.shape[0]
+    if use_dnc is None:
+        use_dnc = n >= 512 and d.dtype in (jnp.float32, jnp.float64)
+    if use_dnc and n > 64:
+        from faer_tpu.linalg.bidiag_dnc import bidiag_svd_dnc
+
+        return bidiag_svd_dnc(d, e, want_u=want_u, want_v=want_v)
     rdt = d.dtype
     eye = jnp.eye(n, dtype=rdt)
     if n == 1:

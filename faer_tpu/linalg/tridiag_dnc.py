@@ -46,21 +46,33 @@ def _secular_solve(d, z2, rho, n_iter: int = 64):
     n = d.shape[0]
     dt = d.dtype
     zsum = jnp.sum(z2)
+    # REAL deflation: a z_j = 0 pole contributes no secular term, so its
+    # "gap" is dead — the root there is exactly d_j, and live roots must
+    # bisect against the NEXT ACTIVE pole as their upper endpoint (else the
+    # dead-gap search collapses onto the deflated pole and duplicates its
+    # eigenvector — same defect as in bidiag_dnc, observed there as a ~1.0
+    # orthogonality error).
+    active = z2 > 0
     # top-root bound with 2× slack: at d_max + 2ρ·zsum, f ≥ 1/2 robustly
     # (the tight Weyl bound d_max + ρ·zsum has f ≥ 0 only to ~eps — fp noise
     # can flip its sign and collapse the top root's bisection onto the bound)
-    upper = jnp.concatenate(
-        [d[1:], (d[-1] + 2 * rho * zsum + dtypes.eps(dt))[None]])
+    big = d[-1] + 2 * rho * zsum + dtypes.eps(dt)
+    d_act = jnp.where(active, d, jnp.asarray(jnp.inf, dt))
+    sufmin = jnp.flip(jax.lax.associative_scan(jnp.minimum, jnp.flip(d_act)))
+    nxt = jnp.concatenate([sufmin[1:], jnp.asarray([jnp.inf], dt)])
+    jhat = jnp.searchsorted(d, nxt, side="left").astype(jnp.int32)  # n if inf
+    upper = jnp.where(jnp.isinf(nxt), big, nxt)
     g = upper - d                                   # (n,) gap per root
     delta_lo = d[:, None] - d[None, :]              # (j, i): d_j − d_i
     delta_hi = d[:, None] - upper[None, :]          # (j, i): d_j − upper_i
-    # the root's own gap endpoints: pole i (low side) and pole i+1 (high
-    # side); pin their denominators to ∓t·g DIRECTLY — computing them as
-    # delta − t·g gives 0 − (+0) = +0 when t·g underflows (f32 hits this at
-    # the very first bisection midpoints), flipping the pole term to +∞ and
-    # driving the bisection the wrong way. −(t·g) keeps IEEE −0.
+    # the root's own gap endpoints: pole i (low side) and the next-active
+    # pole (high side); pin their denominators to ∓t·g DIRECTLY — computing
+    # them as delta − t·g gives 0 − (+0) = +0 when t·g underflows (f32 hits
+    # this at the very first bisection midpoints), flipping the pole term to
+    # +∞ and driving the bisection the wrong way. −(t·g) keeps IEEE −0.
     eye0 = jnp.eye(n, dtype=bool)                   # (i, i): own lower pole
-    eyem1 = jnp.eye(n, k=-1, dtype=bool)            # (i+1, i): own upper pole
+    pin_hi = jax.nn.one_hot(jhat, n, dtype=jnp.float32).T.astype(bool)
+    zdead = (z2 == 0)[:, None]
 
     def _denom_lo(t):
         tg = t * g
@@ -69,14 +81,20 @@ def _secular_solve(d, z2, rho, n_iter: int = 64):
 
     def _denom_hi(u):
         ug = u * g
-        return jnp.where(eyem1, jnp.broadcast_to(ug[None, :], (n, n)),
+        return jnp.where(pin_hi, jnp.broadcast_to(ug[None, :], (n, n)),
                          delta_hi + ug[None, :])
 
+    def _terms(denom):
+        # dead poles have numerator 0; guard their 0/0 when a midpoint lands
+        # exactly on one (active poles keep IEEE ±0 → ±inf semantics)
+        denom = jnp.where(zdead & (denom == 0), jnp.ones_like(denom), denom)
+        return z2[:, None] / denom
+
     def f_lo(t):
-        return 1.0 + rho * jnp.sum(z2[:, None] / _denom_lo(t), axis=0)
+        return 1.0 + rho * jnp.sum(_terms(_denom_lo(t)), axis=0)
 
     def f_hi(u):                                    # u = 1 − t
-        return 1.0 + rho * jnp.sum(z2[:, None] / _denom_hi(u), axis=0)
+        return 1.0 + rho * jnp.sum(_terms(_denom_hi(u)), axis=0)
 
     two = jnp.asarray(2.0, dt)
     s_max = jnp.asarray(1100.0, dt)                 # past f64 subnormals
@@ -103,6 +121,9 @@ def _secular_solve(d, z2, rho, n_iter: int = 64):
     use_lo = f_lo(0.5 * ones) > 0                   # root below gap midpoint
     lam = jnp.where(use_lo, d + t * g, upper - u * g)
     diff = jnp.where(use_lo[None, :], _denom_lo(t), _denom_hi(u))
+    # deflated (z_j = 0) roots: exactly the pole, exact shifted differences
+    lam = jnp.where(active, lam, d)
+    diff = jnp.where(active[None, :], diff, delta_lo)
     return lam, diff
 
 
