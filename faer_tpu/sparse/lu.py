@@ -39,10 +39,22 @@ def factorize_symbolic_lu(sym: SymbolicSparseCsc):
 
 
 def factorize_numeric_lu(a: SparseCscMat, *, col_perm: np.ndarray | None = None,
-                         pivot_threshold: float = 1.0) -> SparseLu:
-    """Gilbert-Peierls left-looking LU with partial (threshold) pivoting."""
+                         pivot_threshold: float = 1.0,
+                         method: str = "auto") -> SparseLu:
+    """Sparse LU with partial pivoting.
+
+    ``method``: ``"simplicial"`` (Gilbert–Peierls below), ``"supernodal"``
+    (multifrontal dense fronts on the MXU — faer ``lu.rs:43``), or ``"auto"``
+    (supernodal for n ≥ 200, matching faer's supernodal-threshold policy).
+    """
     m, n = a.nrows, a.ncols
     assert m == n, "sparse LU requires a square matrix"
+    if method == "auto":
+        method = "supernodal" if n >= 200 and col_perm is None else "simplicial"
+    if method == "supernodal":
+        from faer_tpu.sparse.multifrontal import lu_numeric_multifrontal
+
+        return lu_numeric_multifrontal(a)
     if col_perm is None:
         col_perm = factorize_symbolic_lu(a.symbolic)
     s = a.symbolic

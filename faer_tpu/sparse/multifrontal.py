@@ -1,0 +1,303 @@
+"""Multifrontal (supernodal) sparse QR and LU: dense fronts on the MXU.
+
+Reference parity:
+* sparse QR — ``faer/src/sparse/linalg/qr.rs`` supernodal Householder
+  (``SymbolicSupernodalHouseholder`` ``:317``, numeric ``:305``): the R
+  factor is computed by Householder QR of dense frontal matrices (no AᵀA
+  squaring), one front per supernode of the AᵀA elimination tree;
+* sparse LU — ``faer/src/sparse/linalg/lu.rs`` supernodal numeric (``:43``):
+  dense frontal partial-pivot LU with within-front row pivoting
+  (UMFPACK-style restricted pivoting), the U pattern bounded by the AᵀA
+  Cholesky pattern (George–Ng).
+
+TPU-native design (SURVEY §2.5): the symbolic phase reuses the supernode
+detection of the sparse Cholesky stack; the numeric phase is a host-ordered
+postorder sweep where each front is assembled with vectorized numpy
+scatter/gather and factorized by the DENSE device kernel stack
+(``linalg.qr`` / ``linalg.lu`` panels), padded to MXU-aligned size classes.
+Contribution blocks flow parent-ward exactly as in the classical
+multifrontal method.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from faer_tpu.sparse.cholesky import SymbolicCholesky
+from faer_tpu.sparse.csc import SparseCscMat, SymbolicSparseCsc
+from faer_tpu.sparse.lu import SparseLu
+from faer_tpu.sparse.supernodal import SupernodalSymbolic, _pad_class, detect_supernodes
+
+
+def _permute_cols(a: SparseCscMat, perm: np.ndarray) -> SparseCscMat:
+    """A[:, perm] as CSC (column gather)."""
+    s = a.symbolic
+    n = s.ncols
+    ptr = np.zeros(n + 1, dtype=np.int64)
+    idx_parts, val_parts = [], []
+    for j in range(n):
+        r = s.col_range(int(perm[j]))
+        idx_parts.append(s.row_idx[r])
+        val_parts.append(a.values[r.start:r.stop])
+        ptr[j + 1] = ptr[j] + (r.stop - r.start)
+    idx = np.concatenate(idx_parts) if idx_parts else np.zeros(0, np.int64)
+    val = np.concatenate(val_parts) if val_parts else np.zeros(0, a.values.dtype)
+    return SparseCscMat(SymbolicSparseCsc(s.nrows, n, ptr, idx), val)
+
+
+def _rows_by_leftmost(ap: SparseCscMat):
+    """CSR-style view of A plus each row's leftmost column."""
+    s = ap.symbolic
+    m, n = s.nrows, s.ncols
+    counts = np.zeros(m, dtype=np.int64)
+    np.add.at(counts, s.row_idx, 1)
+    rptr = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(counts, out=rptr[1:])
+    rcols = np.empty(s.nnz, dtype=np.int64)
+    rvals = np.empty(s.nnz, dtype=ap.values.dtype)
+    fill = rptr[:-1].copy()
+    for j in range(n):
+        r = s.col_range(j)
+        rows = s.row_idx[r]
+        pos = fill[rows]
+        rcols[pos] = j
+        rvals[pos] = ap.values[r.start:r.stop]
+        fill[rows] += 1
+    leftmost = np.full(m, n, dtype=np.int64)
+    nz = rptr[1:] > rptr[:-1]
+    leftmost[nz] = rcols[rptr[:-1][nz]]
+    return rptr, rcols, rvals, leftmost
+
+
+def qr_numeric_multifrontal(a: SparseCscMat, symb: SymbolicCholesky,
+                            ssym: SupernodalSymbolic | None = None) -> SparseCscMat:
+    """Householder R of ``A[:, symb.perm]`` via multifrontal QR.
+
+    Returns Rᵀ as a SparseCscMat over ``symb.l_symbolic`` (same contract as
+    the AᵀA-Cholesky stand-in, so the existing CSNE solve path upgrades in
+    place — but R now comes from orthogonal reductions of A itself, without
+    the κ² conditioning of the normal equations).
+    """
+    import jax.numpy as jnp
+
+    from faer_tpu.linalg.qr import qr_in_place
+
+    if ssym is None:
+        ssym = detect_supernodes(symb)
+    ap = _permute_cols(a, symb.perm)
+    rptr, rcols, rvals, leftmost = _rows_by_leftmost(ap)
+    m = ap.nrows
+    ls = symb.l_symbolic
+    lvals = np.zeros(ls.nnz, dtype=ap.values.dtype)
+    nsn = len(ssym.sn_rows)
+    rows_of_sn = [[] for _ in range(nsn)]
+    for r in range(m):
+        if leftmost[r] < ap.ncols:
+            rows_of_sn[int(ssym.col_of_sn[leftmost[r]])].append(r)
+    contribs: list[list] = [[] for _ in range(nsn)]
+
+    for s in range(nsn):
+        j0, j1 = int(ssym.sn_start[s]), int(ssym.sn_start[s + 1])
+        w = j1 - j0
+        pattern = np.asarray(ssym.sn_rows[s], dtype=np.int64)  # front col ids
+        c = pattern.size
+        blocks = []
+        for r in rows_of_sn[s]:
+            rr = slice(int(rptr[r]), int(rptr[r + 1]))
+            row = np.zeros(c, dtype=ap.values.dtype)
+            pos = np.searchsorted(pattern, rcols[rr])
+            row[pos] = rvals[rr]
+            blocks.append(row[None, :])
+        for ccols, cblock in contribs[s]:
+            sub = np.zeros((cblock.shape[0], c), dtype=ap.values.dtype)
+            pos = np.searchsorted(pattern, ccols)
+            sub[:, pos] = cblock
+            blocks.append(sub)
+        nr = sum(b.shape[0] for b in blocks)
+        f = (np.concatenate(blocks, axis=0) if blocks
+             else np.zeros((0, c), dtype=ap.values.dtype))
+        if nr < c:                      # QR needs >= c rows for a full R
+            f = np.concatenate([f, np.zeros((c - nr, c), dtype=f.dtype)])
+            nr = c
+        rpad = _pad_class(nr)
+        fr = np.zeros((rpad, c), dtype=f.dtype)
+        fr[:nr] = f
+        packed, _, _ = qr_in_place(jnp.asarray(fr))
+        r_up = np.triu(np.asarray(packed)[:c, :c])
+        # R rows j0..j1-1: L column j's pattern is pattern[j-j0:]
+        for j in range(j0, j1):
+            rj = ls.col_range(j)
+            t = j - j0
+            lvals[rj.start:rj.stop] = r_up[t, t:]
+        if c > w:
+            parent = int(ssym.col_of_sn[pattern[w]])
+            contribs[parent].append((pattern[w:], r_up[w:, w:]))
+        contribs[s] = []                # free
+    return SparseCscMat(ls, lvals)
+
+
+def lu_numeric_multifrontal(a: SparseCscMat, symb: SymbolicCholesky | None = None,
+                            ssym: SupernodalSymbolic | None = None) -> SparseLu:
+    """Multifrontal LU with within-front partial pivoting.
+
+    The column order is ``symb.perm`` (fill-reducing on AᵀA); the U pattern
+    is bounded by the AᵀA Cholesky pattern (valid for ANY row pivoting —
+    George–Ng), and pivot rows are chosen per front among the assembled rows
+    (UMFPACK-style restricted pivoting).  Returns a ``SparseLu`` sharing the
+    simplicial solve path.
+    """
+    import jax.numpy as jnp
+
+    from faer_tpu.linalg.lu import _panel_lu_blocked
+    from faer_tpu.ops.matmul import matmul
+    from faer_tpu.ops.triangular_solve import solve_unit_lower_triangular
+
+    n = a.ncols
+    assert a.nrows == n, "sparse LU requires a square matrix"
+    if symb is None:
+        from faer_tpu.sparse.qr import factorize_symbolic_qr
+
+        symb = factorize_symbolic_qr(a.symbolic)
+    if ssym is None:
+        ssym = detect_supernodes(symb)
+    ap = _permute_cols(a, symb.perm)
+    rptr, rcols, rvals, leftmost = _rows_by_leftmost(ap)
+    nsn = len(ssym.sn_rows)
+    rows_of_sn = [[] for _ in range(nsn)]
+    for r in range(n):
+        if leftmost[r] < n:
+            rows_of_sn[int(ssym.col_of_sn[leftmost[r]])].append(r)
+    contribs: list[list] = [[] for _ in range(nsn)]
+
+    dtype = ap.values.dtype
+    p = np.full(n, -1, dtype=np.int64)          # pivot position -> row id
+    u_cols: list[tuple[np.ndarray, np.ndarray]] = [None] * n   # (rows, vals)
+    l_cols: list[tuple[np.ndarray, np.ndarray]] = [None] * n   # (orig rows, vals)
+
+    for s in range(nsn):
+        j0, j1 = int(ssym.sn_start[s]), int(ssym.sn_start[s + 1])
+        w = j1 - j0
+        pattern = np.asarray(ssym.sn_rows[s], dtype=np.int64)
+        c = pattern.size
+        blocks, row_ids = [], []
+        for r in rows_of_sn[s]:
+            rr = slice(int(rptr[r]), int(rptr[r + 1]))
+            row = np.zeros(c, dtype=dtype)
+            pos = np.searchsorted(pattern, rcols[rr])
+            row[pos] = rvals[rr]
+            blocks.append(row[None, :])
+            row_ids.append(r)
+        for ccols, cblock, crows in contribs[s]:
+            sub = np.zeros((cblock.shape[0], c), dtype=dtype)
+            pos = np.searchsorted(pattern, ccols)
+            sub[:, pos] = cblock
+            blocks.append(sub)
+            row_ids.extend(crows)
+        nr = len(row_ids)
+        if nr < w:
+            raise ValueError(
+                f"structurally deficient front at supernode {s} ({nr} rows, "
+                f"{w} pivots)")
+        f = np.concatenate(blocks, axis=0)
+        row_ids = np.asarray(row_ids, dtype=np.int64)
+        # merge duplicate rows (a row may receive several contributions)
+        if np.unique(row_ids).size != row_ids.size:
+            uniq, inv = np.unique(row_ids, return_inverse=True)
+            fm = np.zeros((uniq.size, c), dtype=dtype)
+            np.add.at(fm, inv, f)
+            f, row_ids = fm, uniq
+            nr = row_ids.size
+        # dense partial-pivot LU of the first w columns on device
+        rpad = _pad_class(nr)
+        fp = np.zeros((rpad, w), dtype=dtype)
+        fp[:nr] = f[:, :w]
+        packed, lperm, _, ok = _panel_lu_blocked(jnp.asarray(fp), 32)
+        lperm = np.asarray(lperm)
+        # keep only the real rows (padding rows sort to the back for pivots
+        # chosen among real rows; verify)
+        if not bool(ok) and nr >= w:
+            # padding rows can make ok=False spuriously only if a pivot hit
+            # an exact zero among real candidates — treat as singular
+            raise ValueError(f"numerically singular front at supernode {s}")
+        packed = np.asarray(packed)
+        piv_local = lperm[:w]
+        if np.any(piv_local >= nr):
+            raise ValueError(f"zero pivot column in supernode {s}")
+        l11 = np.tril(packed[:w, :w], -1) + np.eye(w, dtype=dtype)
+        u11 = np.triu(packed[:w, :w])
+        rest_order = lperm[w:]
+        rest_mask = rest_order < nr
+        rest_rows = rest_order[rest_mask]
+        l21 = packed[w:, :][rest_mask]
+        # U12 / Schur on device
+        a12 = f[piv_local, w:]
+        a22 = f[rest_rows, w:]
+        if c > w:
+            u12 = np.asarray(solve_unit_lower_triangular(
+                jnp.asarray(l11), jnp.asarray(a12)))
+            schur = a22 - np.asarray(matmul(
+                None, jnp.asarray(l21), jnp.asarray(u12)))
+        else:
+            u12 = np.zeros((w, 0), dtype=dtype)
+            schur = np.zeros((rest_rows.size, 0), dtype=dtype)
+        # record pivots / factors
+        for t in range(w):
+            j = j0 + t
+            p[j] = row_ids[piv_local[t]]
+            urow = np.concatenate([u11[t, t:], u12[t]])
+            u_cols[j] = (pattern[t:], urow)
+            lcol_rows = np.concatenate([
+                row_ids[piv_local[t + 1:]],
+                row_ids[rest_rows]])
+            lcol_vals = np.concatenate([l11[t + 1:, t], l21[:, t]])
+            l_cols[j] = (lcol_rows, lcol_vals)
+        if c > w and rest_rows.size:
+            parent = int(ssym.col_of_sn[pattern[w]])
+            contribs[parent].append((pattern[w:], schur, row_ids[rest_rows]))
+        contribs[s] = []
+
+    # assemble CSC factors; L rows remapped to pivot order
+    pinv = np.empty(n, dtype=np.int64)
+    pinv[p] = np.arange(n, dtype=np.int64)
+
+    def build(cols, remap: bool, unit: bool):
+        ptr = np.zeros(n + 1, dtype=np.int64)
+        idx_all, val_all = [], []
+        for j in range(n):
+            ri, rv = cols[j]
+            ri = np.asarray(ri, dtype=np.int64)
+            rv = np.asarray(rv, dtype=dtype)
+            keep = rv != 0 if ri.size else np.zeros(0, bool)
+            ri, rv = ri[keep], rv[keep]
+            if remap:
+                ri = pinv[ri] if ri.size else ri
+            if unit:
+                ri = np.concatenate([[j], ri])
+                rv = np.concatenate([[1.0], rv]).astype(dtype)
+            srt = np.argsort(ri)
+            idx_all.append(ri[srt])
+            val_all.append(rv[srt])
+            ptr[j + 1] = ptr[j] + ri.size
+        idx = np.concatenate(idx_all) if idx_all else np.zeros(0, np.int64)
+        val = np.concatenate(val_all) if val_all else np.zeros(0, dtype)
+        return SparseCscMat(SymbolicSparseCsc(n, n, ptr, idx), val)
+
+    # U columns: u_cols stores ROWS of U per pivot row j; convert to columns
+    u_by_col: list[list] = [[] for _ in range(n)]
+    for j in range(n):
+        cols_j, vals_j = u_cols[j]
+        for cc, vv in zip(cols_j, vals_j):
+            if vv != 0:
+                u_by_col[int(cc)].append((j, vv))
+    u_cols_csc = []
+    for j in range(n):
+        if u_by_col[j]:
+            ri = np.array([t[0] for t in u_by_col[j]], dtype=np.int64)
+            rv = np.array([t[1] for t in u_by_col[j]], dtype=dtype)
+        else:
+            ri = np.zeros(0, np.int64)
+            rv = np.zeros(0, dtype)
+        u_cols_csc.append((ri, rv))
+    l = build(l_cols, remap=True, unit=True)
+    u = build(u_cols_csc, remap=False, unit=False)
+    return SparseLu(nrows=n, ncols=n, row_perm=p.copy(), col_perm=symb.perm,
+                    l=l, u=u)

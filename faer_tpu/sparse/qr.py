@@ -56,11 +56,24 @@ def factorize_symbolic_qr(a_sym):
     return sch.factorize_symbolic_cholesky(ata.symbolic)
 
 
-def factorize_numeric_qr(a: SparseCscMat, symb=None) -> SparseQr:
-    ata = _ata_lower(a)
+def factorize_numeric_qr(a: SparseCscMat, symb=None, *,
+                         method: str = "multifrontal") -> SparseQr:
+    """Numeric sparse QR.
+
+    ``method="multifrontal"`` (default): Householder R from dense frontal
+    QRs of A itself (faer's supernodal Householder, ``qr.rs:305`` — no
+    normal-equations squaring); ``method="ata"``: the round-1 Cholesky-of-AᵀA
+    stand-in.
+    """
     if symb is None:
-        symb = sch.factorize_symbolic_cholesky(ata.symbolic)
-    l = sch.factorize_numeric_llt(symb, ata)
+        symb = factorize_symbolic_qr(a.symbolic)
+    if method == "multifrontal":
+        from faer_tpu.sparse.multifrontal import qr_numeric_multifrontal
+
+        l = qr_numeric_multifrontal(a, symb)
+    else:
+        ata = _ata_lower(a)
+        l = sch.factorize_numeric_llt(symb, ata)
     return SparseQr(nrows=a.nrows, ncols=a.ncols, symb=symb, r_factor=l, a=a)
 
 

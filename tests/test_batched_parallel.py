@@ -99,3 +99,53 @@ def test_block_cyclic_distributed_llt():
     b = stats.standard_normal_mat(jax.random.key(101), n, 2, jnp.float64)
     x = block_cyclic_llt_solve(l, b)
     assert_approx_eq(np.asarray(a) @ np.asarray(x), b, scale=size_scale(n) * 64)
+
+
+@pytest.mark.slow
+def test_block_cyclic_distributed_lu():
+    from jax.sharding import Mesh
+
+    from faer_tpu.parallel.distributed import block_cyclic_lu, block_cyclic_lu_solve
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = Mesh(np.array(devs[:4]), ("p",))
+    n = 64
+    a = stats.standard_normal_mat(jax.random.key(5), n, n, jnp.float64)
+    lu, perm, ok = block_cyclic_lu(a, mesh, block=16)
+    assert bool(ok)
+    pn = np.asarray(lu)
+    l = np.tril(pn, -1) + np.eye(n)
+    u = np.triu(pn)
+    an = np.asarray(a)[np.asarray(perm)]
+    assert_approx_eq(l @ u, an, scale=size_scale(n) * 16)
+    # partial pivoting: multipliers bounded by 1
+    assert np.abs(np.tril(pn, -1)).max() <= 1.0 + 1e-12
+    b = stats.standard_normal_mat(jax.random.key(6), n, 3, jnp.float64)
+    x = block_cyclic_lu_solve(lu, perm, b, mesh, block=16)
+    assert_approx_eq(np.asarray(a) @ np.asarray(x), b, scale=size_scale(n) * 64)
+
+
+def test_block_cyclic_distributed_qr():
+    from jax.sharding import Mesh
+
+    from faer_tpu.parallel.distributed import block_cyclic_qr, block_cyclic_qr_lstsq
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = Mesh(np.array(devs[:4]), ("p",))
+    m, n = 96, 64
+    a = stats.standard_normal_mat(jax.random.key(7), m, n, jnp.float64)
+    packed, t_stack = block_cyclic_qr(a, mesh, block=16)
+    # R upper-triangular; reconstruct via the single-chip helpers (contract
+    # compatibility with linalg.qr's packed format)
+    from faer_tpu.linalg.qr import qr_reconstruct
+
+    rec = qr_reconstruct(packed, t_stack, 16)
+    assert_approx_eq(np.asarray(rec), np.asarray(a), scale=size_scale(m) * 16)
+    b = stats.standard_normal_mat(jax.random.key(8), m, 2, jnp.float64)
+    x = block_cyclic_qr_lstsq(packed, t_stack, b, mesh, block=16)
+    xr = np.linalg.lstsq(np.asarray(a), np.asarray(b), rcond=None)[0]
+    assert_approx_eq(np.asarray(x), xr, scale=size_scale(m) * 256)

@@ -212,3 +212,48 @@ def test_sparse_ldlt(rng):
     sym = ssol.SymbolicLlt.try_new(lower.symbolic)
     f2 = ssol.Ldlt.try_new_with_symbolic(sym, lower)
     np.testing.assert_allclose(a @ f2.solve(b[:, 0]), b[:, 0], atol=1e-8)
+
+
+def test_multifrontal_qr_householder_r():
+    # supernodal Householder R (qr.rs:305): R'R == (A P)' (A P) without
+    # forming A'A numerically
+    from faer_tpu.sparse.qr import factorize_numeric_qr, factorize_symbolic_qr, qr_solve_lstsq
+
+    rng = np.random.default_rng(2)
+    m, n = 90, 60
+    a_d = (rng.random((m, n)) < 0.12) * rng.standard_normal((m, n))
+    a_d += np.concatenate([np.eye(n), np.zeros((m - n, n))]) * 3
+    a = SparseCscMat.from_dense(a_d)
+    f = factorize_numeric_qr(a)               # multifrontal default
+    perm = f.symb.perm
+    ls = f.symb.l_symbolic
+    L = np.zeros((n, n))
+    for j in range(n):
+        r = ls.col_range(j)
+        L[ls.row_idx[r], j] = f.r_factor.values[r.start:r.stop]
+    ap = a_d[:, perm]
+    ref = ap.T @ ap
+    assert np.linalg.norm(L @ L.T - ref) <= 1e-4 * np.linalg.norm(ref)
+    b = rng.standard_normal(m)
+    x = qr_solve_lstsq(f, b)
+    xr = np.linalg.lstsq(a_d, b, rcond=None)[0]
+    assert np.linalg.norm(x - xr) <= 1e-3 * max(1, np.linalg.norm(xr))
+
+
+def test_multifrontal_supernodal_lu():
+    # supernodal LU (lu.rs:43): dense fronts, within-front partial pivoting
+    from faer_tpu.sparse.lu import factorize_numeric_lu, lu_solve
+
+    rng = np.random.default_rng(3)
+    n = 250
+    a_d = (rng.random((n, n)) < 0.03) * rng.standard_normal((n, n))
+    a_d += np.eye(n) * (np.abs(a_d).sum(1) + 1)
+    a = SparseCscMat.from_dense(a_d)
+    f = factorize_numeric_lu(a)               # auto -> supernodal at n=250
+    b = rng.standard_normal((n, 2))
+    x = lu_solve(f, b)
+    assert np.linalg.norm(a_d @ x - b) <= 1e-4 * np.linalg.norm(b)
+    # agree with the simplicial path
+    fs = factorize_numeric_lu(a, method="simplicial")
+    xs = lu_solve(fs, b)
+    assert np.linalg.norm(x - xs) <= 1e-4 * max(1.0, np.linalg.norm(xs))
