@@ -275,21 +275,25 @@ def _combine_pair(re, im):
         jax.device_get(im)).astype(cdt)
 
 
-def _require_complex_backend(what: str):
-    """This environment's TPU runtime rejects complex element types; fail with
-    an actionable message instead of a deep XLA error."""
+def _complex_unsupported() -> bool:
+    """True when the default backend rejects complex element types (this
+    TPU runtime) — such inputs route through the split-(re,im) pair path."""
     import jax as _jax
 
     try:
-        backend = _jax.default_backend()
+        return _jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
-        return
-    if backend == "tpu":
+        return False
+
+
+def _require_complex_backend(what: str):
+    """Complex paths without a split-pair fallback (e.g. QZ) still need a
+    complex-capable backend; fail with an actionable message."""
+    if _complex_unsupported():
         raise NotImplementedError(
             f"{what} uses complex arithmetic, which this TPU runtime does not "
             "support. Run it on CPU, e.g. `with "
-            "jax.default_device(jax.devices('cpu')[0]): ...` "
-            "(split re/im TPU support is planned).")
+            "jax.default_device(jax.devices('cpu')[0]): ...`.")
 
 
 @functools.partial(jax.jit, static_argnames=("max_sweeps_factor",))
@@ -331,7 +335,18 @@ def evd(a, *, max_sweeps_factor: int = 30):
     if not dtypes.is_complex(a.dtype):
         (wr, wi), (vr, vi), info = evd_pair(a, max_sweeps_factor=max_sweeps_factor)
         return _combine_pair(wr, wi), _combine_pair(vr, vi), info
-    _require_complex_backend("general eigendecomposition")
+    if _complex_unsupported():
+        # split-complex path: runs natively on the complex-free TPU runtime
+        import numpy as np
+
+        from faer_tpu.linalg.evd_cpair import evd_cpair
+
+        rdt = dtypes.real_dtype_of(a.dtype)
+        ar = jnp.asarray(np.real(np.asarray(a)), rdt)
+        ai = jnp.asarray(np.imag(np.asarray(a)), rdt)
+        (wr, wi), (vr, vi), info = evd_cpair(
+            ar, ai, max_sweeps_factor=max_sweeps_factor)
+        return _combine_pair(wr, wi), _combine_pair(vr, vi), info
     from faer_tpu.linalg.eigvec import triangular_eigenvectors
 
     h, q = hessenberg_in_place(a)
@@ -346,7 +361,16 @@ def eigenvalues(a, *, max_sweeps_factor: int = 30):
     if not dtypes.is_complex(a.dtype):
         wr, wi = eigenvalues_pair(a, max_sweeps_factor=max_sweeps_factor)
         return _combine_pair(wr, wi)
-    _require_complex_backend("eigenvalues")
+    if _complex_unsupported():
+        import numpy as np
+
+        from faer_tpu.linalg.evd_cpair import eigenvalues_cpair
+
+        rdt = dtypes.real_dtype_of(a.dtype)
+        ar = jnp.asarray(np.real(np.asarray(a)), rdt)
+        ai = jnp.asarray(np.imag(np.asarray(a)), rdt)
+        wr, wi = eigenvalues_cpair(ar, ai, max_sweeps_factor=max_sweeps_factor)
+        return _combine_pair(wr, wi)
     h, q = hessenberg_in_place(a)
     t, _, _ = complex_schur(h, q, max_sweeps_factor=max_sweeps_factor)
     return jnp.diagonal(t)
