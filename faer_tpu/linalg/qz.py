@@ -207,12 +207,32 @@ def qz_iteration(h, r, q, z, *, max_sweeps_factor: int = 30):
     return s_, t_, q, z, SpectralInfo(converged=hi == 0, iterations=it)
 
 
+def _split_pair_inputs(a, b):
+    import numpy as np
+
+    rdt = dtypes.real_dtype_of(a.dtype)
+    an = np.asarray(a)
+    bn = np.asarray(b)
+    return (jnp.asarray(np.real(an), rdt), jnp.asarray(np.imag(an), rdt),
+            jnp.asarray(np.real(bn), rdt), jnp.asarray(np.imag(bn), rdt))
+
+
 def qz(a, b, *, max_sweeps_factor: int = 30):
     """Full generalized Schur: returns (S, T, Q, Z, info) with
-    ``A = Q S Zᴴ``, ``B = Q T Zᴴ``; α = diag(S), β = diag(T)."""
-    from faer_tpu.linalg.evd import _require_complex_backend
+    ``A = Q S Zᴴ``, ``B = Q T Zᴴ``; α = diag(S), β = diag(T).
 
-    _require_complex_backend("QZ / generalized eigendecomposition")
+    On the complex-free TPU runtime the computation runs over split
+    (re, im) pairs (``qz_cpair.py``) and the outputs are combined on host.
+    """
+    from faer_tpu.linalg.evd import _combine_pair, _complex_unsupported
+
+    if _complex_unsupported():
+        from faer_tpu.linalg.qz_cpair import qz_pair
+
+        s_, t_, q, z, info = qz_pair(*_split_pair_inputs(a, b),
+                                     max_sweeps_factor=max_sweeps_factor)
+        return (_combine_pair(*s_), _combine_pair(*t_), _combine_pair(*q),
+                _combine_pair(*z), info)
     cdt = dtypes.complex_dtype_of(a.dtype)
     h, r, q, z = hessenberg_triangular(a.astype(cdt), b.astype(cdt))
     return qz_iteration(h, r, q, z, max_sweeps_factor=max_sweeps_factor)
@@ -221,6 +241,14 @@ def qz(a, b, *, max_sweeps_factor: int = 30):
 def gevd_qz(a, b):
     """Generalized eigendecomposition via QZ: returns (alpha, beta, v, info)
     with right eigenvectors: ``A v β = B v α`` column-wise."""
+    from faer_tpu.linalg.evd import _combine_pair, _complex_unsupported
+
+    if _complex_unsupported():
+        from faer_tpu.linalg.qz_cpair import gevd_qz_pair
+
+        al, be, v, info = gevd_qz_pair(*_split_pair_inputs(a, b))
+        return (_combine_pair(*al), _combine_pair(*be), _combine_pair(*v),
+                info)
     n = a.shape[0]
     s_, t_, q, z, info = qz(a, b)
     alpha = jnp.diagonal(s_)

@@ -70,3 +70,29 @@ def test_public_evd_routes_complex_by_backend():
     assert np.max(np.abs(np.sort_complex(np.asarray(w_native))
                          - np.sort_complex(w_pair))) < 1e-4 * max(
         1.0, np.max(np.abs(w_pair)))
+
+
+@pytest.mark.parametrize("n", [4, 16])
+def test_qz_pair_generalized_schur(n):
+    from faer_tpu.linalg.qz_cpair import gevd_qz_pair, qz_pair
+
+    rng = np.random.default_rng(50 + n)
+    an = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    bn = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    args = [jnp.asarray(x, jnp.float32)
+            for x in (an.real, an.imag, bn.real, bn.imag)]
+    s_, t_, q, z, info = qz_pair(*args)
+    assert bool(info.converged)
+    S = np.asarray(s_[0], np.float64) + 1j * np.asarray(s_[1], np.float64)
+    T = np.asarray(t_[0], np.float64) + 1j * np.asarray(t_[1], np.float64)
+    Q = np.asarray(q[0], np.float64) + 1j * np.asarray(q[1], np.float64)
+    Z = np.asarray(z[0], np.float64) + 1j * np.asarray(z[1], np.float64)
+    assert np.allclose(np.tril(S, -1), 0) and np.allclose(np.tril(T, -1), 0)
+    assert np.linalg.norm(Q @ S @ Z.conj().T - an) < 1e-4 * np.linalg.norm(an)
+    assert np.linalg.norm(Q @ T @ Z.conj().T - bn) < 1e-4 * np.linalg.norm(bn)
+    al, be, v, _ = gevd_qz_pair(*args)
+    V = np.asarray(v[0], np.float64) + 1j * np.asarray(v[1], np.float64)
+    aln = np.asarray(al[0], np.float64) + 1j * np.asarray(al[1], np.float64)
+    ben = np.asarray(be[0], np.float64) + 1j * np.asarray(be[1], np.float64)
+    pen = np.linalg.norm(an @ V * ben[None, :] - bn @ V * aln[None, :])
+    assert pen < 1e-4 * max(1.0, np.linalg.norm(an))
