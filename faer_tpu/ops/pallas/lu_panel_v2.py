@@ -122,8 +122,6 @@ def _lu_panel_v2_kernel(pt_in, pt_ref, pidx_ref, ok_ref, *, bp, mp, kmax, mvalid
             m_rows.append(jnp.where(ub_i | (S[i:i + 1] != 0), 0.0,
                                     slab[i:i + 1]))
         M = jnp.concatenate(list(reversed(m_rows)), axis=0)    # (SB, m)
-        later = pt_ref[sb_end:, :]                             # (rest, m)
-        Y = _dotT(later, S)                                    # (rest, SB)
         Lsub = _dotT(M, S)                                     # (SB, SB)
         # Llow[j, i] = mult_i[p_j] = Lsubᵀ, strictly lower by construction
         eye = jnp.eye(SB, dtype=jnp.float32)
@@ -135,8 +133,16 @@ def _lu_panel_v2_kernel(pt_in, pt_ref, pidx_ref, ok_ref, *, bp, mp, kmax, mvalid
             p_acc = _dot(p_acc, p_acc)
             n_inv = n_inv + _dot(p_acc, n_inv)
             span *= 2
-        yp = _dotT(Y, n_inv)                                   # Y @ N^T
-        pt_ref[sb_end:, :] = later - _dot(yp, M)
+        # chunk the rank-SB update over row groups: a single (rest, m) slab
+        # update materializes ~3·rest·m f32 temporaries, which blows past
+        # VMEM at m = 4096 (measured 6× per-step cliff vs m = 2048)
+        RCH = 32
+        for c0 in range(sb_end, bp, RCH):
+            cw = min(RCH, bp - c0)
+            lchunk = pt_ref[c0:c0 + cw, :]                     # (cw, m)
+            Y = _dotT(lchunk, S)                               # (cw, SB)
+            yp = _dotT(Y, n_inv)                               # Y @ N^T
+            pt_ref[c0:c0 + cw, :] = lchunk - _dot(yp, M)
     ok_ref[0, 0] = ok.astype(jnp.int32)
 
 

@@ -149,3 +149,25 @@ def test_apply_rotation_chain_matches_sequential():
         ref[:, i] = float(c[i]) * zi + float(s[i]) * zi1
         ref[:, i + 1] = -float(s[i]) * zi + float(c[i]) * zi1
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_lu_panel_v2_interpret(monkeypatch):
+    # covers the transposed virtual-pivot kernel incl. the VMEM-chunked
+    # deferred rank-8 update (row-group loop)
+    import faer_tpu.ops.pallas.lu_panel_v2 as lpv2
+
+    _interp(monkeypatch, lpv2)
+    lpv2.lu_panel_v2_pallas._clear_cache()
+    m, b = 96, 24
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.standard_normal((m, b)), jnp.float32)
+    packed, perm, nt, ok = lpv2.lu_panel_v2_pallas(p)
+    assert bool(ok)
+    pn = np.asarray(packed, np.float64)
+    l = np.tril(pn, -1)[:, :b] + np.eye(m, b)
+    u = np.triu(pn)[:b]
+    ref = np.asarray(p, np.float64)[np.asarray(perm)]
+    assert np.linalg.norm(l @ u - ref) <= 1e-4 * max(1.0, np.linalg.norm(ref))
+    # partial pivoting: multipliers bounded by 1
+    assert np.abs(np.tril(pn, -1)).max() <= 1.0 + 1e-6
+    lpv2.lu_panel_v2_pallas._clear_cache()
