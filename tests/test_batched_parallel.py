@@ -82,6 +82,7 @@ def test_mesh_sharded_matmul_and_solve():
                      scale=size_scale(16) * 64, tol_dtype=jnp.float32)
 
 
+@pytest.mark.slow
 def test_block_cyclic_distributed_llt():
     from jax.sharding import Mesh
 

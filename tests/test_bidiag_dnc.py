@@ -45,7 +45,7 @@ def _check(d, e, s, u, v, tol):
     assert np.all(sn[:-1] >= sn[1:] - 1e-12) and np.all(sn >= 0)
 
 
-@pytest.mark.parametrize("n", [80, 130, 300])
+@pytest.mark.parametrize("n", [80, 130, pytest.param(300, marks=pytest.mark.slow)])
 def test_bidiag_dnc_random(n):
     rng = np.random.default_rng(n)
     d = jnp.asarray(rng.standard_normal(n), jnp.float32)
@@ -71,6 +71,7 @@ def test_bidiag_dnc_graded_and_zero_entries():
     _check(d, e, s, u, v, 1e-4)
 
 
+@pytest.mark.slow
 def test_bidiag_svd_routes_to_dnc():
     n = 600
     rng = np.random.default_rng(1)

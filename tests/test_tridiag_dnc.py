@@ -31,7 +31,7 @@ def _check(d, e, *, resid_tol, orth_tol):
     assert np.all(np.diff(wn) >= 0), "eigenvalues must be ascending"
 
 
-@pytest.mark.parametrize("n,seed", [(300, 0), (517, 3)])
+@pytest.mark.parametrize("n,seed", [(300, 0), pytest.param(517, 3, marks=pytest.mark.slow)])
 def test_dnc_random_f64(n, seed):
     rng = np.random.default_rng(seed)
     _check(rng.standard_normal(n), rng.standard_normal(n - 1),
@@ -85,6 +85,7 @@ def test_dnc_extreme_scales():
            resid_tol=1e-9, orth_tol=1e-9)
 
 
+@pytest.mark.slow
 def test_tridiag_evd_gate_routes_large_to_dnc():
     # the public entry point routes n >= 512 to D&C; results must agree with
     # the QR-iteration path to within both paths' accuracy
