@@ -31,6 +31,19 @@ def rng():
     return np.random.default_rng(0)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules: the XLA:CPU JIT has
+    segfaulted in `backend_compile_and_load` late in the full suite (~400
+    tests' worth of accumulated compilations); the same tests pass in
+    isolation.  Bounding the live-executable count avoids the crash at the
+    cost of cross-module recompiles (which are disjoint anyway)."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running test")
     config.addinivalue_line("markers", "tpu: requires a real TPU")

@@ -38,6 +38,7 @@ def test_batched_lu_and_qr():
                      scale=size_scale(n) * 64)
 
 
+@pytest.mark.slow
 def test_batched_svd_evd():
     bsz, m, n = 3, 16, 10
     a = stats.standard_normal_mat(jax.random.key(84), bsz * m, n, jnp.float64).reshape(bsz, m, n)

@@ -90,6 +90,7 @@ def test_lu_singular_flags():
     assert not bool(info.success)
 
 
+@pytest.mark.slow
 def test_lu_wide_panel_block():
     # regression: 512-wide panels route the U12 solve through a 512-block
     # triangular inverse; the Neumann-doubling base overflowed f32 there

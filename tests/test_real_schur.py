@@ -37,7 +37,7 @@ def _check_schur(a, t, q, info, tol):
         assert not np.any(sd[:-1] & sd[1:])
 
 
-@pytest.mark.parametrize("n", [1, 2, 3, 5, 16, 64])
+@pytest.mark.parametrize("n", [1, 2, 3, 5, 16, pytest.param(64, marks=pytest.mark.slow)])
 def test_real_schur_random(n):
     rng = np.random.default_rng(n)
     a = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
@@ -101,7 +101,7 @@ def test_real_schur_symmetric_input():
         1.0, np.max(np.abs(wref)))
 
 
-@pytest.mark.parametrize("n", [2, 5, 16, 64])
+@pytest.mark.parametrize("n", [2, 5, 16, pytest.param(64, marks=pytest.mark.slow)])
 def test_quasi_triangular_eigenvectors(n):
     rng = np.random.default_rng(100 + n)
     a = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)

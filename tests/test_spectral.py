@@ -17,7 +17,7 @@ DTYPES = [jnp.float32, jnp.float64, jnp.complex64, jnp.complex128]
 
 
 @pytest.mark.parametrize("dtype", DTYPES)
-@pytest.mark.parametrize("m,n", [(1, 1), (12, 12), (40, 25), (25, 40), (100, 20)])
+@pytest.mark.parametrize("m,n", [(1, 1), (12, 12), (40, 25), (25, 40), pytest.param(100, 20, marks=pytest.mark.slow)])
 def test_svd(dtype, m, n):
     a = stats.standard_normal_mat(jax.random.key(51), m, n, dtype)
     u, s, v, info = fsvd.svd(a)
@@ -51,7 +51,7 @@ def test_svd_full_and_pinv(dtype):
 
 
 @pytest.mark.parametrize("dtype", DTYPES)
-@pytest.mark.parametrize("n", [1, 2, 16, 80])
+@pytest.mark.parametrize("n", [1, 2, 16, pytest.param(80, marks=pytest.mark.slow)])
 def test_self_adjoint_evd(dtype, n):
     a = stats.self_adjoint_mat(jax.random.key(53), n, dtype)
     w, v, info = fevd.self_adjoint_evd(a)
@@ -76,7 +76,7 @@ def _match_eigs(got, want):
 
 
 @pytest.mark.parametrize("dtype", DTYPES)
-@pytest.mark.parametrize("n", [2, 5, 20, 60])
+@pytest.mark.parametrize("n", [2, 5, 20, pytest.param(60, marks=pytest.mark.slow)])
 def test_general_evd(dtype, n):
     a = stats.standard_normal_mat(jax.random.key(54), n, n, dtype)
     w, v, info = fevd.evd(a)

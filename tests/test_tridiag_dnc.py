@@ -31,7 +31,7 @@ def _check(d, e, *, resid_tol, orth_tol):
     assert np.all(np.diff(wn) >= 0), "eigenvalues must be ascending"
 
 
-@pytest.mark.parametrize("n,seed", [(300, 0), pytest.param(517, 3, marks=pytest.mark.slow)])
+@pytest.mark.parametrize("n,seed", [pytest.param(300, 0, marks=pytest.mark.slow), pytest.param(517, 3, marks=pytest.mark.slow)])
 def test_dnc_random_f64(n, seed):
     rng = np.random.default_rng(seed)
     _check(rng.standard_normal(n), rng.standard_normal(n - 1),
