@@ -76,20 +76,30 @@ def _panel_lu(panel):
     return a, perm, nt, ok
 
 
-# Tournament pivoting kicks in for leaf panels taller than this.  Effectively
-# disabled for now: with the VMEM-chunked v2 kernel the direct path measures
-# faster at 4096 (CALU: 11.7 ms vs 8.0 ms full LU); revisit for m >> 4096.
+# Tournament pivoting kicks in for leaf panels taller than this.  Measured
+# on v5e at 4096^2: CALU loses to the direct chunked kernel even with the
+# O(b^2) parity (10.4 vs 7.2 ms full LU — the per-leaf argsort/gather/
+# re-factor overheads exceed the kernel's per-lane cost), so it is gated
+# beyond current bench sizes; the structure is kept for m >> 4096.
 _CALU_GROUP = 1 << 30
 
 
-def _perm_parity(perm):
-    """Parity of a permutation vector (for the determinant sign): inversion
-    count mod 2 via one (m, m) comparison reduce."""
-    m = perm.shape[0]
-    i = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
-    inv = jnp.sum(((i < j) & (perm[:, None] > perm[None, :])).astype(jnp.int32))
-    return inv % 2
+def _select_front_parity(win):
+    """Parity of the 'winners to the front (in order), rest stable'
+    permutation in O(b²) (the previous all-pairs O(m²) count dominated the
+    CALU leaf cost at 4096).  ``win``: (b,) distinct winner indices.
+
+    inversions = #{t<j : win_t > win_j}                (winner–winner)
+               + Σ_t (win_t − #{j : win_j < win_t})    (winner–rest)
+    """
+    b = win.shape[0]
+    t = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    gt = (win[:, None] > win[None, :]).astype(jnp.int32)   # [t, j]: win_t > win_j
+    inv_within = jnp.sum(jnp.where(t < j, gt, 0))
+    smaller_winners = jnp.sum(gt, axis=1)                  # #{j: win_j < win_t}
+    inv_cross = jnp.sum(win.astype(jnp.int32) - smaller_winners)
+    return (inv_within + inv_cross) % 2
 
 
 def _lu_leaf_calu(panel, group: int = _CALU_GROUP):
@@ -133,7 +143,7 @@ def _lu_leaf_calu(panel, group: int = _CALU_GROUP):
     l21 = matmul(None, jnp.take(panel, rest, axis=0), u11inv,
                  precision=jax.lax.Precision.HIGHEST)
     packed = jnp.concatenate([packed2[:b], l21], axis=0)
-    return packed, perm, _perm_parity(perm), ok
+    return packed, perm, _select_front_parity(win), ok
 
 
 def _panel_lu_blocked(panel, base: int):

@@ -135,8 +135,10 @@ def _lu_panel_v2_kernel(pt_in, pt_ref, pidx_ref, ok_ref, *, bp, mp, kmax, mvalid
             span *= 2
         # chunk the rank-SB update over row groups: a single (rest, m) slab
         # update materializes ~3·rest·m f32 temporaries, which blows past
-        # VMEM at m = 4096 (measured 6× per-step cliff vs m = 2048)
-        RCH = 32
+        # VMEM at m = 4096 (measured: 0.338 → 0.158 ms per (4096,128) leaf).
+        # Below that the temporaries fit and chunking only adds per-dot
+        # overhead (0.056 → 0.095 ms at 2048), so chunk large panels only.
+        RCH = 32 if mp > 2048 else bp
         for c0 in range(sb_end, bp, RCH):
             cw = min(RCH, bp - c0)
             lchunk = pt_ref[c0:c0 + cw, :]                     # (cw, m)
