@@ -125,10 +125,16 @@ def _qr_panel_v2_kernel(pt_in, pt_ref, tau_ref, *, bp, mp, kmax, mvalid):
         n_inv = n_inv * (1.0 / d)[None, :]
         t_mat = jnp.transpose(n_inv)                            # T (upper)
         t_mat = t_mat * live[None, :] * live[:, None]
-        later = pt_ref[sb_end:, :]
-        Y = _dotT(later, V)                                     # (rest, SB)
-        Z = _dot(Y, t_mat)                                      # (rest, SB)
-        pt_ref[sb_end:, :] = later - _dot(Z, V)
+        # chunk the block apply over row groups past the VMEM cliff (same
+        # fix as lu_panel_v2: a single (rest, m) slab update spills VMEM at
+        # m = 4096)
+        RCH = 32 if mp > 2048 else bp
+        for c0 in range(sb_end, bp, RCH):
+            cw = min(RCH, bp - c0)
+            later = pt_ref[c0:c0 + cw, :]
+            Y = _dotT(later, V)                                 # (cw, SB)
+            Z = _dot(Y, t_mat)                                  # (cw, SB)
+            pt_ref[c0:c0 + cw, :] = later - _dot(Z, V)
 
 
 @jax.jit
