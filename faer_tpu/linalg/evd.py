@@ -236,7 +236,7 @@ def complex_schur(h, q, *, max_sweeps_factor: int = 30):
                 z = jnp.where(active, nz, z)
                 return h, q, x, z
 
-            h, q, _, _ = jax.lax.fori_loop(0, n - 1, chase, (h, q, x0, z0))
+            h, q, _, _ = jax.lax.fori_loop(lo, hi, chase, (h, q, x0, z0))
             return h, q
 
         h, q = jax.lax.cond(can_deflate, deflate, do_sweep, (h, q))

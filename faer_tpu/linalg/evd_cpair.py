@@ -212,7 +212,7 @@ def complex_schur_pair(h, q, *, max_sweeps_factor: int = 30):
                 return hr, hi, qr_, qi_, x, z
 
             hr, hi, qr_, qi_, _, _ = jax.lax.fori_loop(
-                0, n - 1, chase, (hr, hi, qr_, qi_, x0, z0))
+                lo, hi_idx, chase, (hr, hi, qr_, qi_, x0, z0))
             return hr, hi, qr_, qi_
 
         hr, hi, qr_, qi_ = jax.lax.cond(can_deflate, deflate, do_sweep,

@@ -185,7 +185,7 @@ def qz_iteration(h, r, q, z, *, max_sweeps_factor: int = 30):
                 return h, r, q, z, x, bz
 
             h, r, q, z, _, _ = jax.lax.fori_loop(
-                0, n - 1, chase, (h, r, q, z, x0, z0))
+                lo, hi, chase, (h, r, q, z, x0, z0))
             return h, r, q, z
 
         h, r, q, z = jax.lax.cond(can_deflate, deflate, do_sweep, (h, r, q, z))

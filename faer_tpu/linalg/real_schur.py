@@ -177,25 +177,27 @@ def real_schur(h, q, *, max_sweeps_factor: int = 30):
 
             def chase(i, st):
                 hp, qp, v1, v2, v3 = st
+                zi = i * 0          # a zero of the induction dtype (traced
+                                    # bounds make i int32 even under x64)
                 active = (i >= lo) & (i <= hi - 1)
                 v3e = jnp.where(i == hi - 1, jnp.zeros_like(v3), v3)
                 tau, u2, u3 = _house3(v1, v2, v3e)
                 tau = jnp.where(active, tau, jnp.zeros_like(tau))
                 # rows i..i+2
-                R = jax.lax.dynamic_slice(hp, (i, 0), (3, n + 2))
+                R = jax.lax.dynamic_slice(hp, (i, zi), (3, n + 2))
                 w = R[0] + u2 * R[1] + u3 * R[2]
                 R = R - tau * jnp.stack(
                     [w, u2 * w, u3 * w], axis=0)
-                hp = jax.lax.dynamic_update_slice(hp, R, (i, 0))
+                hp = jax.lax.dynamic_update_slice(hp, R, (i, zi))
                 # cols i..i+2
-                C = jax.lax.dynamic_slice(hp, (0, i), (n + 2, 3))
+                C = jax.lax.dynamic_slice(hp, (zi, i), (n + 2, 3))
                 wc = C[:, 0] + u2 * C[:, 1] + u3 * C[:, 2]
                 C = C - tau * jnp.stack([wc, u2 * wc, u3 * wc], axis=1)
-                hp = jax.lax.dynamic_update_slice(hp, C, (0, i))
-                Cq = jax.lax.dynamic_slice(qp, (0, i), (n, 3))
+                hp = jax.lax.dynamic_update_slice(hp, C, (zi, i))
+                Cq = jax.lax.dynamic_slice(qp, (zi, i), (n, 3))
                 wq = Cq[:, 0] + u2 * Cq[:, 1] + u3 * Cq[:, 2]
                 Cq = Cq - tau * jnp.stack([wq, u2 * wq, u3 * wq], axis=1)
-                qp = jax.lax.dynamic_update_slice(qp, Cq, (0, i))
+                qp = jax.lax.dynamic_update_slice(qp, Cq, (zi, i))
                 # next bulge column
                 nv1 = hp[i + 1, i]
                 nv2 = hp[i + 2, i]
@@ -206,8 +208,10 @@ def real_schur(h, q, *, max_sweeps_factor: int = 30):
                 v3 = jnp.where(active, nv3, v3)
                 return hp, qp, v1, v2, v3
 
+            # traced bounds: only the active block is chased (the masked
+            # 0..n-1 version paid the full sweep even for a 3-wide block)
             hp, qp, _, _, _ = jax.lax.fori_loop(
-                0, n - 1, chase, (hp, qp, v1, v2, v3))
+                lo, hi, chase, (hp, qp, v1, v2, v3))
             return hp, qp
 
         case = jnp.where(nr == 1, 0, jnp.where(nr == 2, 1, 2))
