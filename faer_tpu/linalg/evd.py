@@ -302,7 +302,14 @@ def evd_pair(a, *, max_sweeps_factor: int = 30):
     TPU-native.  Returns ``((wr, wi), (vr, vi), info)`` with
     ``A (vr+i·vi)_k = (wr+i·wi)_k (vr+i·vi)_k``; conjugate eigenpairs are
     adjacent.  faer ``evd_real`` (``evd/mod.rs:1213``) via the real Francis
-    double-shift Schur (``real_schur.rs:2117``)."""
+    double-shift Schur (``real_schur.rs:2117``).
+
+    .. warning:: at n ≥ ~1024 the Schur ``while_loop`` is a single
+       multi-minute device dispatch; through this environment's axon tunnel
+       that trips the TPU worker watchdog ("TPU worker process crashed").
+       Run large general-EVD problems on CPU until the multishift+AED
+       upgrade lands (PARITY.md round-3 targets).
+    """
     from faer_tpu.linalg.eigvec import quasi_triangular_eigenvectors_pair
     from faer_tpu.linalg.real_schur import real_schur, schur_eigenvalues_pair
 
