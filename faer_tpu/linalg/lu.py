@@ -205,7 +205,10 @@ def lu_in_place(a, params: PartialPivLuParams | None = None):
                                   64 if kmax >= 128 else kmax)
     from faer_tpu.core.config import panel_kernels_enabled
 
-    base = min(128 if panel_kernels_enabled(a.dtype) else params.recursion_threshold,
+    # leaf width 256 measured ~5% faster than 128 at (4096, 512) panels
+    # (one fewer coupling level); a single 512-wide kernel is slower (1.55 vs
+    # 1.06 ms) — the GEMM couplings beat in-kernel chunked rank-8 updates
+    base = min(256 if panel_kernels_enabled(a.dtype) else params.recursion_threshold,
                block)
     perm = jnp.arange(m, dtype=jnp.int32)
     nt = jnp.zeros((), jnp.int32)
