@@ -7,5 +7,6 @@ from faer_tpu.linalg import cholesky, lu, qr
 
 __all__ = [
     "cholesky", "lu", "qr", "solvers", "svd", "evd", "gevd", "qz", "batched",
-    "bidiag", "bidiag_svd", "tridiag", "tridiag_evd",
+    "bidiag", "bidiag_svd", "bidiag_dnc", "tridiag", "tridiag_evd",
+    "tridiag_dnc", "real_schur", "eigvec", "evd_cpair", "qz_cpair",
 ]

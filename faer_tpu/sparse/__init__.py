@@ -10,10 +10,11 @@ from faer_tpu.sparse.csc import (
     permute_self_adjoint,
 )
 from faer_tpu.sparse.csr import SparseCsrMat
-from faer_tpu.sparse import amd, colamd, cholesky, lu, matmul, ops, qr, solvers, triangular_solve
+from faer_tpu.sparse import (amd, colamd, cholesky, lu, matmul, multifrontal,
+                             ops, qr, solvers, supernodal, triangular_solve)
 
 __all__ = [
     "SparseCscMat", "SymbolicSparseCsc", "SparseCsrMat", "permute_self_adjoint",
-    "amd", "colamd", "cholesky", "lu", "matmul", "ops", "qr", "solvers",
-    "triangular_solve",
+    "amd", "colamd", "cholesky", "lu", "matmul", "multifrontal", "ops", "qr",
+    "solvers", "supernodal", "triangular_solve",
 ]
