@@ -62,6 +62,15 @@ def log(msg: str) -> None:
 
 
 def main() -> None:
+    # persistent compile cache: the 4096-scale factor compiles take minutes
+    # through the remote-compile tunnel; caching them on disk keeps repeat
+    # bench runs inside tight driver timeouts
+    try:
+        from faer_tpu.utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
 
