@@ -297,29 +297,40 @@ def lu_in_place(a, params: PartialPivLuParams | None = None):
     return out, perm, info
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def full_piv_lu_in_place(a, params: FullPivLuParams | None = None):
-    """Full-pivot LU: returns ``(lu, row_perm, col_perm, info)``.
+def _compose_tails(local_perms, widths):
+    """Compose block-local permutations backward: ``tails[j]`` maps final
+    trail order to pre-block-(j+1) order, so each finished strip is gathered
+    exactly once (shared by the partial- and full-pivot assemblies)."""
+    tails = [None] * len(local_perms)
+    tail_next = None
+    for j in range(len(local_perms) - 1, -1, -1):
+        lp = local_perms[j]
+        bwj = widths[j]
+        if tail_next is None or lp.shape[0] <= bwj:
+            t_j = lp
+        else:
+            t_j = jnp.concatenate([lp[:bwj], jnp.take(lp[bwj:], tail_next)])
+        tails[j] = tail_next
+        tail_next = t_j
+    return tails
 
-    ``A[row_perm][:, col_perm] = L @ U``. The trailing-submatrix argmax and the
-    rank-1 update run fused in one ``fori_loop`` body (the structure faer's
-    "spicy matmul" kernels fuse — ``matmul/internal/mod.rs:45``).
-    faer ``lu_in_place`` (``lu/full_pivoting/factor.rs:466``).
-    """
-    del params
-    m, n = a.shape
-    kmax = min(m, n)
-    rdt = dtypes.real_dtype_of(a.dtype)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]
+
+def _full_piv_block(trail, bw: int):
+    """``bw`` steps of full pivoting on the whole (shrunk) trail: global
+    argmax, row+col swaps, rank-1 update — the faer fused-kernel structure
+    (``lu/full_pivoting/factor.rs:466``) as one masked ``fori_loop``."""
+    mk, nk = trail.shape
+    rdt = dtypes.real_dtype_of(trail.dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (mk, 1), 0)[:, 0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, nk), 1)[0]
 
     def body(j, state):
         a, rperm, cperm, nt, ok = state
         mag = jnp.abs(a).astype(rdt)
         mag = jnp.where((rows[:, None] >= j) & (cols[None, :] >= j), mag, -1)
         flat = jnp.argmax(mag)
-        p = (flat // n).astype(jnp.int32)
-        q = (flat % n).astype(jnp.int32)
+        p = (flat // nk).astype(jnp.int32)
+        q = (flat % nk).astype(jnp.int32)
         a = permod.swap_rows(a, j, p)
         rperm = permod.swap_rows(rperm, j, p)
         a = permod.swap_cols(a, j, q)
@@ -335,15 +346,94 @@ def full_piv_lu_in_place(a, params: FullPivLuParams | None = None):
                         mult[:, None] * a[j, :][None, :], 0)
         return a - upd, rperm, cperm, nt, ok
 
-    init = (
-        a,
-        jnp.arange(m, dtype=jnp.int32),
-        jnp.arange(n, dtype=jnp.int32),
-        jnp.zeros((), jnp.int32),
-        jnp.ones((), jnp.bool_),
-    )
-    a, rperm, cperm, nt, ok = jax.lax.fori_loop(0, kmax, body, init)
-    return a, rperm, cperm, LuInfo(transposition_count=nt, success=ok)
+    init = (trail, jnp.arange(mk, dtype=jnp.int32),
+            jnp.arange(nk, dtype=jnp.int32), jnp.zeros((), jnp.int32),
+            jnp.ones((), jnp.bool_))
+    return jax.lax.fori_loop(0, bw, body, init)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def full_piv_lu_in_place(a, params: FullPivLuParams | None = None):
+    """Full-pivot LU: returns ``(lu, row_perm, col_perm, info)``.
+
+    ``A[row_perm][:, col_perm] = L @ U``.  Blocked over a SHRINKING trail:
+    each block runs ``bw`` fused argmax+update steps on the current trail
+    (full pivoting must update everything before each pivot search, so the
+    trailing update cannot be deferred — but carrying an explicitly shrunk
+    trail cuts the per-step touched area from n² to (n−k)², ~3× total
+    traffic; the previous version was fully unblocked and pathological at
+    4096).  faer ``lu_in_place`` (``lu/full_pivoting/factor.rs:466``).
+    """
+    del params
+    m, n = a.shape
+    kmax = min(m, n)
+    block = 256 if kmax > 256 else kmax
+
+    rperm = jnp.arange(m, dtype=jnp.int32)
+    cperm = jnp.arange(n, dtype=jnp.int32)
+    nt = jnp.zeros((), jnp.int32)
+    ok = jnp.ones((), jnp.bool_)
+    trail = a
+    lrs, lcs = [], []             # block-local row / col permutations
+    lstrips = []                  # [(k, (m−k, bw) diag+L column strip)]
+    u12s = {}                     # k -> (bw, n−k−bw) finalized U rows
+    ks_list = []
+    for k in range(0, kmax, block):
+        bw = min(block, kmax - k)
+        tp, lr, lc, bnt, bok = _full_piv_block(trail, bw)
+        rperm = rperm.at[k:].set(jnp.take(rperm[k:], lr))
+        cperm = cperm.at[k:].set(jnp.take(cperm[k:], lc))
+        nt = nt + bnt
+        ok = ok & bok
+        lrs.append(lr)
+        lcs.append(lc)
+        ks_list.append(k)
+        lstrips.append(tp[:, :bw])
+        if k + bw < n:
+            u12s[k] = tp[:bw, bw:]
+        trail = tp[bw:, bw:]
+
+    widths = [s.shape[1] for s in lstrips]
+    # later blocks permute the remaining trail rows (affecting earlier L
+    # strips below their diagonal) AND the remaining trail cols (affecting
+    # earlier U12 strips): compose both backward, gather each strip once
+    row_tails = _compose_tails(lrs, widths)
+    col_tails = _compose_tails(lcs, widths)
+    for j, strip in enumerate(lstrips):
+        bwj = widths[j]
+        if row_tails[j] is not None and strip.shape[0] > bwj:
+            idx = jnp.concatenate(
+                [jnp.arange(bwj, dtype=jnp.int32), bwj + row_tails[j]])
+            lstrips[j] = jnp.take(strip, idx, axis=0)
+    for j, k in enumerate(ks_list):
+        if k in u12s and col_tails[j] is not None:
+            bwj = widths[j]
+            u12s[k] = jnp.take(u12s[k], col_tails[j], axis=1)
+
+    # assemble: column strip j = earlier blocks' U12 slices + its own L strip
+    strips = []
+    for j, k in enumerate(ks_list):
+        bw = widths[j]
+        pieces = []
+        for i in range(j):
+            ki, bwi = ks_list[i], widths[i]
+            pieces.append(u12s[ki][:, k - ki - bwi: k - ki - bwi + bw])
+        pieces.append(lstrips[j])
+        strips.append(jnp.concatenate(pieces, axis=0) if len(pieces) > 1
+                      else lstrips[j])
+    if n > kmax:
+        tailcols = []
+        for i, ki in enumerate(ks_list):
+            if ki in u12s:
+                tailcols.append(u12s[ki][:, kmax - ki - widths[i]:])
+        rest = jnp.concatenate(tailcols, axis=0)
+        if rest.shape[0] < m:
+            rest = jnp.concatenate(
+                [rest, jnp.zeros((m - rest.shape[0], rest.shape[1]), a.dtype)],
+                axis=0)
+        strips.append(rest)
+    out = strips[0] if len(strips) == 1 else jnp.concatenate(strips, axis=1)
+    return out, rperm, cperm, LuInfo(transposition_count=nt, success=ok)
 
 
 # ---------------------------------------------------------------------------

@@ -120,3 +120,18 @@ def test_invert_triangular_large_block():
     r = np.asarray(l, np.float64) @ inv - np.eye(n)
     assert np.isfinite(inv).all()
     assert np.abs(r).max() / max(1.0, np.abs(inv).max()) < 1e-5
+
+
+@pytest.mark.parametrize("m,n", [(300, 300), (350, 280), (280, 350)])
+def test_full_piv_lu_blocked_multiblock(m, n):
+    # crosses the 256-wide block boundary of the shrinking-trail version
+    rng = np.random.default_rng(m + n)
+    a = jnp.asarray(rng.standard_normal((m, n)), jnp.float64)
+    packed, rp, cp, info = lu.full_piv_lu_in_place(a)
+    rec = np.asarray(lu.full_piv_lu_reconstruct(packed, rp, cp))
+    assert np.linalg.norm(rec - np.asarray(a)) <= 1e-10 * max(
+        1.0, np.linalg.norm(np.asarray(a)))
+    # full pivoting: multipliers bounded by 1 and U diagonal non-increasing-ish
+    pn = np.asarray(packed)
+    k = min(m, n)
+    assert np.abs(np.tril(pn, -1)[:, :k]).max() <= 1.0 + 1e-12
