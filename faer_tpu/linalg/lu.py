@@ -243,19 +243,8 @@ def lu_in_place(a, params: PartialPivLuParams | None = None):
         panels.append((k, panel))
 
     # compose the later panels' row permutations backward so each strip is
-    # gathered exactly ONCE (not re-permuted on every subsequent panel):
-    # T_j maps final row order of the time-j trail to its pre-panel order
-    tails = [None] * len(panels)
-    tail_next = None          # T_{j+1}, length = rows of trail at time j+1
-    for j in range(len(panels) - 1, -1, -1):
-        lp = local_perms[j]
-        bwj = panels[j][1].shape[1]
-        if tail_next is None or lp.shape[0] <= bwj:
-            t_j = lp
-        else:
-            t_j = jnp.concatenate([lp[:bwj], jnp.take(lp[bwj:], tail_next)])
-        tails[j] = tail_next   # composition of perms STRICTLY after panel j
-        tail_next = t_j
+    # gathered exactly ONCE (not re-permuted on every subsequent panel)
+    tails = _compose_tails(local_perms, [p.shape[1] for _, p in panels])
     for j, (ks, panel) in enumerate(panels):
         bwj = panel.shape[1]
         if tails[j] is not None and panel.shape[0] > bwj:
