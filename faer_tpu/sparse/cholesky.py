@@ -219,15 +219,77 @@ def llt_solve(symb: SymbolicCholesky, l: SparseCscMat, b):
     return out
 
 
-def factorize_numeric_ldlt(symb: SymbolicCholesky, a: SparseCscMat):
-    """Simplicial LDLT: returns (L_unit, d) sharing ``l_symbolic``."""
-    llt = factorize_numeric_llt(symb, a)  # via LLT then rescale (SPD only)
+def factorize_numeric_ldlt(symb: SymbolicCholesky, a: SparseCscMat, *,
+                           regularization_epsilon: float = 0.0,
+                           regularization_delta: float = 0.0,
+                           regularization_signs=None):
+    """Simplicial LDLT: returns (L_unit, d) sharing ``l_symbolic``.
+
+    TRUE indefinite LDLT (left-looking, no square roots) with faer's
+    dynamic-regularization semantics (``cholesky.rs:760-870``): when
+    ``delta > 0``, a pivot with ``|d| ≤ epsilon`` is replaced by ``±delta``
+    (sign from ``regularization_signs[k]`` when given, else the pivot's own
+    sign, non-negative pivots going positive).  Raises on an exactly-zero
+    pivot when regularization is off.
+    """
+    ap = permute_self_adjoint(a, symb.perm)
+    n = symb.n
     ls = symb.l_symbolic
-    d = np.empty(symb.n, dtype=llt.values.dtype)
-    vals = llt.values.copy()
-    for j in range(symb.n):
+    dtype = ap.values.dtype
+    lvals = np.zeros(ls.nnz, dtype=dtype)
+    d = np.zeros(n, dtype=np.float64 if not np.iscomplexobj(ap.values)
+                 else np.float64)
+    pos = {}
+    for j in range(n):
         r = ls.col_range(j)
-        piv = vals[r.start]
-        d[j] = piv * np.conj(piv)
-        vals[r.start:r.stop] = vals[r.start:r.stop] / piv
-    return SparseCscMat(ls, vals), d.real if np.iscomplexobj(d) else d
+        pos[j] = {int(i): r.start + t for t, i in enumerate(ls.row_idx[r])}
+    row_lists = [[] for _ in range(n)]
+    for k in range(n):
+        for p in range(int(ls.col_ptr[k]), int(ls.col_ptr[k + 1])):
+            i = int(ls.row_idx[p])
+            if i > k:
+                row_lists[i].append(k)
+
+    eps_r = abs(regularization_epsilon)
+    delta = abs(regularization_delta)
+    has_delta = delta > 0
+    signs = regularization_signs
+    n_regularized = 0
+    work = np.zeros(n, dtype=dtype)
+    asym = ap.symbolic
+    for j in range(n):
+        r = asym.col_range(j)
+        work[asym.row_idx[r]] = ap.values[r]
+        for k in row_lists[j]:
+            ljk = lvals[pos[k][j]]
+            if ljk == 0:
+                continue
+            rk = ls.col_range(k)
+            rows_k = ls.row_idx[rk]
+            below = rows_k >= j
+            work[rows_k[below]] -= (np.conj(ljk) * d[k]) * \
+                lvals[rk.start:rk.stop][below]
+        dj = work[j].real if np.iscomplexobj(work) else work[j]
+        if has_delta:
+            if signs is not None:
+                sg = signs[j]
+                if sg > 0 and dj <= eps_r:
+                    dj = delta
+                    n_regularized += 1
+                elif sg < 0 and dj >= -eps_r:
+                    dj = -delta
+                    n_regularized += 1
+            elif abs(dj) <= eps_r:
+                dj = -delta if dj < 0 else delta
+                n_regularized += 1
+        if dj == 0:
+            raise ValueError(f"zero pivot at column {j} (enable dynamic "
+                             "regularization for quasi-definite systems)")
+        d[j] = dj
+        rj = ls.col_range(j)
+        rows_j = ls.row_idx[rj]
+        colv = work[rows_j] / dj
+        colv[0] = 1.0
+        lvals[rj] = colv
+        work[rows_j] = 0
+    return SparseCscMat(ls, lvals), d

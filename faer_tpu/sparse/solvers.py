@@ -56,9 +56,9 @@ class Ldlt:
         self.d = d
 
     @staticmethod
-    def new(a: SparseCscMat, side=None) -> "Ldlt":
+    def new(a: SparseCscMat, side=None, **regularization) -> "Ldlt":
         symb = sch.factorize_symbolic_cholesky(a.symbolic)
-        l, d = sch.factorize_numeric_ldlt(symb, a)
+        l, d = sch.factorize_numeric_ldlt(symb, a, **regularization)
         return Ldlt(symb, l, d)
 
     @staticmethod

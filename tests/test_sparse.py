@@ -257,3 +257,47 @@ def test_multifrontal_supernodal_lu():
     fs = factorize_numeric_lu(a, method="simplicial")
     xs = lu_solve(fs, b)
     assert np.linalg.norm(x - xs) <= 1e-4 * max(1.0, np.linalg.norm(xs))
+
+
+def test_gh_258_golden_fixture():
+    # faer's gh-258 regression matrix (test_data/sparse_cholesky/gh_258.txt):
+    # the original bug was in the AMD/symbolic phase (amd.rs:1026 runs
+    # symbolic-only), and the matrix is 52x52 symmetric INDEFINITE
+    # (min eig ~ -0.38) with exact-zero diagonal entries — so it also
+    # exercises the true LDLT with dynamic regularization
+    import os
+
+    from faer_tpu.sparse.cholesky import factorize_symbolic_cholesky
+    from faer_tpu.sparse.solvers import Ldlt
+
+    path = os.path.join(os.path.dirname(__file__), "data", "sparse_cholesky",
+                        "gh_258.txt")
+    rows, cols, vals = [], [], []
+    for line in open(path):
+        p = line.split()
+        if len(p) == 3:
+            rows.append(int(p[0]))
+            cols.append(int(p[1]))
+            vals.append(float(p[2]))
+    n = max(max(rows), max(cols)) + 1
+    a_d = np.zeros((n, n))
+    a_d[rows, cols] = vals
+    keep = [(i, j) for i, j in zip(rows, cols) if i >= j]
+    a = SparseCscMat.from_triplets(
+        n, n, np.array([i for i, _ in keep]), np.array([j for _, j in keep]),
+        np.array([a_d[i, j] for i, j in keep]))
+    # symbolic phase must succeed with sane counts (the faer regression)
+    symb = factorize_symbolic_cholesky(a.symbolic)
+    assert symb.l_symbolic.nnz >= n
+    # numeric: indefinite + zero diagonals -> dynamic regularization
+    nrm = np.abs(a_d).max()
+    f = Ldlt.new(a, regularization_epsilon=1e-11 * nrm,
+                 regularization_delta=1e-10 * nrm)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal((n, 2))
+    x = np.asarray(f.solve(b))
+    # the regularized factorization solves a slightly perturbed system;
+    # iterate once to recover the true solution
+    r = b - a_d @ x
+    x = x + np.asarray(f.solve(r))
+    assert np.linalg.norm(a_d @ x - b) <= 1e-6 * max(1.0, np.linalg.norm(b))
