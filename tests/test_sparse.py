@@ -301,3 +301,33 @@ def test_gh_258_golden_fixture():
     r = b - a_d @ x
     x = x + np.asarray(f.solve(r))
     assert np.linalg.norm(a_d @ x - b) <= 1e-6 * max(1.0, np.linalg.norm(b))
+
+
+@pytest.mark.parametrize("name", ["small.txt", "medium-0.txt", "medium-1.txt"])
+def test_amd_golden_patterns(name):
+    # faer's AMD test patterns (test_data/sparse_cholesky/*, parse semantics
+    # at cholesky.rs:4812): CSC col_ptr + row_idx lists.  Checks that our
+    # AMD produces a valid permutation whose symbolic fill does not exceed
+    # the natural ordering's (the heuristic goal), on the same inputs the
+    # reference validates against the amd crate.
+    import os
+    import re
+
+    from faer_tpu.sparse import amd
+    from faer_tpu.sparse.cholesky import factorize_symbolic_cholesky
+    from faer_tpu.sparse.csc import SymbolicSparseCsc
+
+    path = os.path.join(os.path.dirname(__file__), "data", "sparse_cholesky",
+                        name)
+    text = open(path).read()
+    lists = re.findall(r"\[([0-9,\s]*)\]", text)
+    col_ptr = np.array([int(x) for x in lists[0].split(",") if x.strip()])
+    row_idx = np.array([int(x) for x in lists[1].split(",") if x.strip()])
+    n = col_ptr.size - 1
+    sym = SymbolicSparseCsc(n, n, col_ptr.astype(np.int64),
+                            row_idx.astype(np.int64))
+    perm, info = amd.order(sym)
+    assert sorted(perm.tolist()) == list(range(n))
+    s_amd = factorize_symbolic_cholesky(sym, perm=perm)
+    s_nat = factorize_symbolic_cholesky(sym, perm=np.arange(n))
+    assert s_amd.l_symbolic.nnz <= s_nat.l_symbolic.nnz
