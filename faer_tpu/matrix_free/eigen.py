@@ -173,17 +173,133 @@ def partial_self_adjoint_eigen(a, k: int, *, v0=None, m: int | None = None,
     return jnp.real(w), v, info
 
 
+def _partial_eigen_real_imp(op, v0, k: int, m: int, *, tol: float,
+                            max_restarts: int):
+    """Krylov–Schur for a REAL general operator, entirely in real
+    arithmetic: the small eigenproblem uses the real Francis Schur
+    (``evd_pair``), and the restart compresses onto the REAL span of the
+    top-p Ritz vectors — a conjugate pair (adjacent, wi = ±b) contributes
+    (Re y, Im y), so the selected columns are ``wi_k < 0 ? Im y_k : Re y_k``
+    (the bottom partner's imaginary part spans the same line).  Runs on the
+    complex-free TPU runtime; returns (re, im) pairs.
+    """
+    n = op.shape[0]
+    rdt = v0.dtype
+    p = min(max(2 * k, k + 2), m - 1)
+
+    rn = jnp.sqrt(jnp.sum(v0 * v0))
+    v = jnp.zeros((n, m + 1), rdt).at[:, 0].set(
+        v0 / jnp.where(rn == 0, jnp.ones_like(rn), rn))
+    h = jnp.zeros((m + 1, m), rdt)
+    v, h = _arnoldi_extend(op, v, h, 0, m)
+
+    def ritz(v, h):
+        hm = h[:m, :m]
+        (wr, wi), (yr, yi), _ = _evd.evd_pair(hm)
+        absw = jnp.sqrt(wr * wr + wi * wi)
+        order = jnp.argsort(-absw)        # stable: conjugate pairs stay adjacent
+        wr = wr[order]
+        wi = wi[order]
+        yr = yr[:, order]
+        yi = yi[:, order]
+        beta = h[m, m - 1]
+        res = jnp.abs(beta) * jnp.sqrt(yr[m - 1, :] ** 2 + yi[m - 1, :] ** 2)
+        return wr, wi, yr, yi, res
+
+    def converged_mask(wr, wi, res):
+        scale = jnp.maximum(jnp.sqrt(wr * wr + wi * wi), jnp.asarray(1.0, rdt))
+        return res <= tol * scale
+
+    def cond(state):
+        v, h, it, done = state
+        return (~done) & (it < max_restarts)
+
+    def _compress(v, h, wi, span_cols, pw: int):
+        """Compress onto the real span of the top-pw Ritz directions and
+        re-extend (pw static per branch)."""
+        packed, ts, block = qr_in_place(span_cols[:, :pw])
+        q = qr_compute_q(packed, ts, block, thin=True)          # (m, pw)
+        vnew = jnp.zeros_like(v)
+        vnew = vnew.at[:, :pw].set(matmul(None, v[:, :m], q))
+        vnew = vnew.at[:, pw].set(v[:, m])
+        hnew = jnp.zeros_like(h)
+        hnew = hnew.at[:pw, :pw].set(
+            matmul(None, matmul(None, q.T, h[:m, :m]), q))
+        spike = h[m, m - 1] * q[m - 1, :]
+        hnew = hnew.at[pw, :pw].set(spike)
+        return _arnoldi_extend(op, vnew, hnew, pw, m)
+
+    def body(state):
+        v, h, it, done = state
+        wr, wi, yr, yi, res = ritz(v, h)
+        span = jnp.where(wi[None, :] < 0, yi, yr)
+        # a conjugate pair straddling the cut (unmatched top at p−1) makes
+        # span{Re y} alone non-invariant under H — the compressed Arnoldi
+        # relation would silently break (observed: false convergence with
+        # 3e-3 residuals).  Drop the pair in that case (width p−1).
+        straddle = wi[p - 1] > 0
+        v2, h2 = jax.lax.cond(
+            straddle,
+            lambda ops: _compress(*ops, p - 1),
+            lambda ops: _compress(*ops, p),
+            (v, h, wi, span))
+        wr2, wi2, _, _, res2 = ritz(v2, h2)
+        done2 = jnp.all(converged_mask(wr2[:k], wi2[:k], res2[:k]))
+        return v2, h2, it + 1, done2
+
+    wr0, wi0, _, _, res0 = ritz(v, h)
+    done0 = jnp.all(converged_mask(wr0[:k], wi0[:k], res0[:k]))
+    state = (v, h, jnp.zeros((), jnp.int32), done0)
+    v, h, it, done = jax.lax.while_loop(cond, body, state)
+
+    wr, wi, yr, yi, res = ritz(v, h)
+    vr = matmul(None, v[:, :m], yr[:, :k])
+    vi = matmul(None, v[:, :m], yi[:, :k])
+    norms = jnp.sqrt(jnp.sum(vr * vr + vi * vi, axis=0))
+    norms = jnp.where(norms == 0, jnp.ones_like(norms), norms)
+    vr = vr / norms[None, :]
+    vi = vi / norms[None, :]
+    n_conv = jnp.sum(converged_mask(wr[:k], wi[:k], res[:k]))
+    info = PartialEigenInfo(n_converged=n_conv, iterations=it)
+    return (wr[:k], wi[:k]), (vr, vi), info
+
+
+def partial_eigen_pair(a, k: int, *, v0=None, m: int | None = None,
+                       tol: float | None = None, max_restarts: int = 1000):
+    """Largest-magnitude k eigenpairs of a REAL general LinOp as (re, im)
+    pairs — fully TPU-native (faer ``partial_eigen``, ``mod.rs:1271``)."""
+    op = aslinop(a)
+    n = op.shape[0]
+    m = m or min(max(4 * k, k + 8), n)
+    probe = jnp.ones((n, 1))
+    base_dtype = op.apply(probe).dtype if v0 is None else v0.dtype
+    tol = tol if tol is not None else 128 * dtypes.eps(base_dtype)
+    if v0 is None:
+        v0 = jnp.linspace(1.0, 2.0, n).astype(base_dtype)
+    return _partial_eigen_real_imp(op, v0, k, m, tol=tol,
+                                   max_restarts=max_restarts)
+
+
 def partial_eigen(a, k: int, *, v0=None, m: int | None = None,
                   tol: float | None = None, max_restarts: int = 1000):
     """Largest-magnitude k eigenpairs of a general LinOp (complex output).
 
-    faer ``partial_eigen`` (``operator/eigen/mod.rs:1271``).
+    faer ``partial_eigen`` (``operator/eigen/mod.rs:1271``).  Real operators
+    run the TPU-native real Krylov–Schur (``partial_eigen_pair``) and the
+    output is combined to complex on the host when the data lives on TPU;
+    complex operators/starts use the uniform complex path.
     """
     op = aslinop(a)
     n = op.shape[0]
     m = m or min(max(4 * k, k + 8), n)
     probe = jnp.ones((n, 1))
     base_dtype = op.apply(probe).dtype if v0 is None else v0.dtype
+    if not dtypes.is_complex(base_dtype):
+        from faer_tpu.linalg.evd import _combine_pair
+
+        (wr, wi), (vr, vi), info = partial_eigen_pair(
+            a, k, v0=v0, m=m, tol=tol, max_restarts=max_restarts)
+        return _combine_pair(wr, wi), _combine_pair(vr, vi), info
     cdt = dtypes.complex_dtype_of(base_dtype)
     cop = _ComplexWrap(op, cdt)
     tol = tol if tol is not None else 128 * dtypes.eps(base_dtype)

@@ -88,3 +88,24 @@ def test_partial_svd():
     assert_approx_eq(np.sort(np.asarray(s)), np.sort(sref), scale=size_scale(m) * 1024)
     # A v = s u
     assert np.abs(np.asarray(a) @ np.asarray(v) - np.asarray(u) * np.asarray(s)[None, :]).max() < 1e-8
+
+
+@pytest.mark.parametrize("n,k", [(60, 4), (150, 6)])
+def test_partial_eigen_pair_real_path(n, k):
+    # TPU-native real Krylov-Schur: real arithmetic end to end, conjugate
+    # pairs as adjacent (re, im) entries; the restart drops a pair that
+    # straddles the compression cut (its half-span is not H-invariant)
+    from faer_tpu.matrix_free.eigen import partial_eigen_pair
+
+    rng = np.random.default_rng(n)
+    an = rng.standard_normal((n, n))
+    a = jnp.asarray(an, jnp.float32)
+    (wr, wi), (vr, vi), info = partial_eigen_pair(a, k)
+    assert int(info.n_converged) == k
+    w = np.asarray(wr, np.float64) + 1j * np.asarray(wi, np.float64)
+    v = np.asarray(vr, np.float64) + 1j * np.asarray(vi, np.float64)
+    wref = np.linalg.eigvals(an)
+    top = wref[np.argsort(-np.abs(wref))][:k]
+    assert np.max(np.abs(np.sort_complex(w) - np.sort_complex(top))) < 1e-4 * np.max(
+        np.abs(top))
+    assert np.linalg.norm(an @ v - v * w[None, :]) < 1e-4 * np.linalg.norm(an)
