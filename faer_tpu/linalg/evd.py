@@ -174,7 +174,10 @@ def complex_schur(h, q, *, max_sweeps_factor: int = 30):
         # hi = index of the current active block's end (eigenvalue being worked)
         sd = subdiag(h)
         dmag = jnp.abs(jnp.diagonal(h))
-        tol = jnp.maximum(eps * (dmag[:-1] + dmag[1:]), smlnum)
+        # progressive deflation floor (see real_schur.py): guarantees
+        # progress on stuck interior couplings; resets with the stall counter
+        floor = smlnum * (2.0 ** jnp.minimum(stall // 5, 24))
+        tol = jnp.maximum(eps * (dmag[:-1] + dmag[1:]), floor)
         negligible = jnp.abs(sd) <= tol
         # deflate: while sd[hi-1] negligible → hi -= 1 (do one per iteration)
         can_deflate = (hi > 0) & negligible[jnp.maximum(hi - 1, 0)]

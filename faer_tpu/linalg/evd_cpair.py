@@ -143,7 +143,10 @@ def complex_schur_pair(h, q, *, max_sweeps_factor: int = 30):
         hr, hi, qr_, qi_, hi_idx, it, stall = state
         sd = subdiag(hr, hi)
         dmag = cabs((jnp.diagonal(hr), jnp.diagonal(hi)))
-        tol = jnp.maximum(eps * (dmag[:-1] + dmag[1:]), smlnum)
+        # progressive deflation floor (see real_schur.py): guarantees
+        # progress on stuck interior couplings; resets with the stall counter
+        floor = smlnum * (2.0 ** jnp.minimum(stall // 5, 24))
+        tol = jnp.maximum(eps * (dmag[:-1] + dmag[1:]), floor)
         negligible = cabs(sd) <= tol
         can_deflate = (hi_idx > 0) & negligible[jnp.maximum(hi_idx - 1, 0)]
 

@@ -126,7 +126,10 @@ def qz_iteration(h, r, q, z, *, max_sweeps_factor: int = 30):
         h, r, q, z, hi, it, stall = state
         sd = jnp.diagonal(h, -1)
         dmag = jnp.abs(jnp.diagonal(h))
-        tol = jnp.maximum(eps * (dmag[:-1] + dmag[1:]), smlnum)
+        # progressive deflation floor (see real_schur.py): guarantees
+        # progress on stuck interior couplings; resets with the stall counter
+        floor = smlnum * (2.0 ** jnp.minimum(stall // 5, 24))
+        tol = jnp.maximum(eps * (dmag[:-1] + dmag[1:]), floor)
         negligible = jnp.abs(sd) <= tol
         can_deflate = (hi > 0) & negligible[jnp.maximum(hi - 1, 0)]
 

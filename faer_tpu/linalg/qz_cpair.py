@@ -201,7 +201,10 @@ def qz_iteration_pair(h, r, q, z, *, max_sweeps_factor: int = 30):
         z = (zr, zi)
         sd = (jnp.diagonal(hr, -1), jnp.diagonal(hi, -1))
         dmag = cabs((jnp.diagonal(hr), jnp.diagonal(hi)))
-        tol = jnp.maximum(eps * (dmag[:-1] + dmag[1:]), smlnum)
+        # progressive deflation floor (see real_schur.py): guarantees
+        # progress on stuck interior couplings; resets with the stall counter
+        floor = smlnum * (2.0 ** jnp.minimum(stall // 5, 24))
+        tol = jnp.maximum(eps * (dmag[:-1] + dmag[1:]), floor)
         negligible = cabs(sd) <= tol
         can_deflate = (hi_idx > 0) & negligible[jnp.maximum(hi_idx - 1, 0)]
 

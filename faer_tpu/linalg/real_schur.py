@@ -104,7 +104,14 @@ def real_schur(h, q, *, max_sweeps_factor: int = 30):
         hp, qp, hi, it, stall = state
         d = jnp.diagonal(hp)[:n]
         sd = jnp.diagonal(hp, -1)[: n - 1]
-        tol = jnp.maximum(eps * (jnp.abs(d[:-1]) + jnp.abs(d[1:])), smlnum)
+        # progressive deflation: the plateau of a stuck interior coupling can
+        # sit a small factor above ε·‖H‖ (observed 18× on a Krylov 12×12,
+        # stalling the sweep forever).  Loosening the absolute floor
+        # exponentially with the stall counter guarantees progress with a
+        # bounded backward perturbation, while non-stalling matrices keep
+        # the tight tolerance (stall resets on every deflation).
+        floor = smlnum * (2.0 ** jnp.minimum(stall // 5, 24))
+        tol = jnp.maximum(eps * (jnp.abs(d[:-1]) + jnp.abs(d[1:])), floor)
         negligible = jnp.abs(sd) <= tol
         # zero negligible subdiagonal entries (backward-stable perturbation)
         neg_full = jnp.zeros((n + 2,), bool).at[:n - 1].set(negligible)
@@ -161,12 +168,44 @@ def real_schur(h, q, *, max_sweeps_factor: int = 30):
             h22 = jnp.where(exc, 0.75 * se + hp[hi, hi], h22)
             s = h11 + h22
             p = h11 * h22 - h12 * h21
-            # first column of H² − sH + pI on the active block
-            a0 = hp[lo, lo]
-            b0 = hp[lo, lo + 1]
-            c0 = hp[lo + 1, lo]
-            d0 = hp[lo + 1, lo + 1]
-            e0 = hp[lo + 2, lo + 1]
+            # LAPACK dlahqr's sweep-start search: begin the bulge chase at
+            # the LARGEST m in (lo, hi−2] where the bulge introduction is
+            # negligible against H(m, m−1) — without this, a tiny-but-not-
+            # deflatable mid-block coupling poisons the shifts and the
+            # iteration stalls (observed: 360 sweeps without convergence on
+            # a 12×12 Krylov Hessenberg with a 5e-14 interior coupling).
+            if n <= 2:
+                # no interior start candidates on a 2×2 (the search arrays
+                # below would be zero-size); the chase begins at ``lo``
+                m_start = lo
+            else:
+                dv = jnp.diagonal(hp)[:n]
+                sdv = jnp.diagonal(hp, -1)[: n - 1]
+                supv = jnp.diagonal(hp, 1)[: n - 1]
+                mI = jax.lax.broadcasted_iota(jnp.int32, (n - 2, 1), 0)[:, 0]
+                h11m = dv[: n - 2]
+                h22m = dv[1: n - 1]
+                h21m = sdv[: n - 2]
+                h12m = supv[: n - 2]
+                h32m = sdv[1: n - 1]
+                v1m = h11m * h11m + h12m * h21m - s * h11m + p
+                v2m = h21m * (h11m + h22m - s)
+                v3m = h21m * h32m
+                prev_sd = jnp.concatenate([jnp.zeros((1,), rdt), sdv[: n - 3]]) \
+                    if n > 3 else jnp.zeros((n - 2,), rdt)
+                prev_d = jnp.concatenate([jnp.zeros((1,), rdt), dv[: n - 3]]) \
+                    if n > 3 else jnp.zeros((n - 2,), rdt)
+                cond = (jnp.abs(prev_sd) * (jnp.abs(v2m) + jnp.abs(v3m))
+                        <= eps * jnp.abs(v1m)
+                        * (jnp.abs(prev_d) + jnp.abs(h11m) + jnp.abs(h22m)))
+                valid = (mI > lo) & (mI <= hi - 2) & cond
+                m_start = jnp.maximum(jnp.max(jnp.where(valid, mI, 0)), lo)
+            # first column of H² − sH + pI at the sweep start
+            a0 = hp[m_start, m_start]
+            b0 = hp[m_start, m_start + 1]
+            c0 = hp[m_start + 1, m_start]
+            d0 = hp[m_start + 1, m_start + 1]
+            e0 = hp[m_start + 2, m_start + 1]
             v1 = a0 * a0 + b0 * c0 - s * a0 + p
             v2 = c0 * (a0 + d0 - s)
             v3 = c0 * e0
@@ -174,12 +213,13 @@ def real_schur(h, q, *, max_sweeps_factor: int = 30):
                 jnp.maximum(jnp.abs(v1), jnp.abs(v2)),
                 jnp.maximum(jnp.abs(v3), jnp.asarray(dtypes.min_positive(rdt), rdt)))
             v1, v2, v3 = v1 / scale, v2 / scale, v3 / scale
+            lo_sweep = m_start
 
             def chase(i, st):
                 hp, qp, v1, v2, v3 = st
                 zi = i * 0          # a zero of the induction dtype (traced
                                     # bounds make i int32 even under x64)
-                active = (i >= lo) & (i <= hi - 1)
+                active = (i >= lo_sweep) & (i <= hi - 1)
                 v3e = jnp.where(i == hi - 1, jnp.zeros_like(v3), v3)
                 tau, u2, u3 = _house3(v1, v2, v3e)
                 tau = jnp.where(active, tau, jnp.zeros_like(tau))
@@ -208,10 +248,10 @@ def real_schur(h, q, *, max_sweeps_factor: int = 30):
                 v3 = jnp.where(active, nv3, v3)
                 return hp, qp, v1, v2, v3
 
-            # traced bounds: only the active block is chased (the masked
+            # traced bounds: only [m_start, hi) is chased (the masked
             # 0..n-1 version paid the full sweep even for a 3-wide block)
             hp, qp, _, _, _ = jax.lax.fori_loop(
-                lo, hi, chase, (hp, qp, v1, v2, v3))
+                lo_sweep, hi, chase, (hp, qp, v1, v2, v3))
             return hp, qp
 
         case = jnp.where(nr == 1, 0, jnp.where(nr == 2, 1, 2))

@@ -60,17 +60,33 @@ def _arnoldi_extend(op, v, h, start: int, m: int):
     rdt = dtypes.real_dtype_of(v.dtype)
     mb = m + 1
 
+    n = v.shape[0]
+    eps = dtypes.eps(rdt)
+
     def body(j, carry):
         v, h = carry
         vj = jax.lax.dynamic_slice_in_dim(v, j, 1, axis=1)
         w = op.apply(vj)[:, 0]
+        pre = jnp.sqrt(jnp.sum(jnp.abs(w).astype(rdt) ** 2))
         sel = jnp.arange(mb) <= j
         w, hj = _orth_step(op, v, sel, w)
         beta = jnp.sqrt(jnp.sum(jnp.abs(w).astype(rdt) ** 2))
+        # breakdown (invariant subspace reached): normalizing the ~0
+        # remainder injects a garbage direction and silently breaks the
+        # Arnoldi relation (observed: residual estimator decoupling from the
+        # true residual after near-convergence).  Substitute a fresh
+        # deterministic direction orthogonalized against the basis, with the
+        # subdiagonal recorded as EXACTLY zero — the relation stays exact.
+        breakdown = beta <= 64 * eps * jnp.maximum(pre, jnp.ones_like(pre))
+        probe = jnp.zeros((n,), v.dtype).at[(13 * j + 1) % n].set(1)
+        t, _ = _orth_step(op, v, sel, probe)
+        tn = jnp.sqrt(jnp.sum(jnp.abs(t).astype(rdt) ** 2))
+        t = t / jnp.where(tn == 0, jnp.ones_like(tn), tn).astype(v.dtype)
         safe = jnp.where(beta == 0, jnp.ones_like(beta), beta)
+        newcol = jnp.where(breakdown, t, w / safe.astype(v.dtype))
         v = jax.lax.dynamic_update_slice_in_dim(
-            v, (w / safe.astype(v.dtype))[:, None], j + 1, axis=1)
-        hj = hj.at[j + 1].set(beta.astype(v.dtype))
+            v, newcol[:, None], j + 1, axis=1)
+        hj = hj.at[j + 1].set(jnp.where(breakdown, 0.0, beta).astype(v.dtype))
         h = jax.lax.dynamic_update_slice_in_dim(h, hj[:, None], j, axis=1)
         return v, h
 
@@ -233,6 +249,14 @@ def _partial_eigen_real_imp(op, v0, k: int, m: int, *, tol: float,
         v, h, it, done = state
         wr, wi, yr, yi, res = ritz(v, h)
         span = jnp.where(wi[None, :] < 0, yi, yr)
+        # normalize the span columns: a nearly-real conjugate pair has
+        # ‖Im y‖ ~ |wi| ≪ 1, and the raw tiny column degrades the QR into a
+        # noise direction outside the invariant subspace (observed: the
+        # compressed Arnoldi relation jumping from 1e-14 to 0.5 on one
+        # restart); the normalized direction is well-defined down to ~eps
+        snorm = jnp.sqrt(jnp.sum(span * span, axis=0))
+        span = span / jnp.where(snorm == 0, jnp.ones_like(snorm),
+                                snorm)[None, :]
         # a conjugate pair straddling the cut (unmatched top at p−1) makes
         # span{Re y} alone non-invariant under H — the compressed Arnoldi
         # relation would silently break (observed: false convergence with
