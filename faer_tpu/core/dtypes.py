@@ -66,6 +66,21 @@ def min_positive(dtype) -> float:
     return float(jnp.finfo(real_dtype_of(dtype)).tiny)
 
 
+def deflation_stall_cap(dtype) -> int:
+    """Exponent cap for the progressive deflation floor ``2**(stall // 5)``
+    used by the Schur/QZ iterations.
+
+    Keeps the loosened absolute floor at or below ``√eps·‖H‖`` — a bounded
+    backward perturbation — in every dtype.  A fixed cap of 24 is fine in
+    f64 (eps·2²⁴ ≈ 3.7e-9) but in f32 reaches ~2·‖H‖, so a genuinely
+    non-converging matrix would be silently reported converged with O(‖H‖)
+    backward error.
+    """
+    import math
+
+    return min(24, int(-0.5 * math.log2(eps(dtype))))
+
+
 def conj_maybe(x, conj) -> jnp.ndarray:
     """Conjugate ``x`` iff ``conj`` is ``Conj.YES`` and x is complex.
 

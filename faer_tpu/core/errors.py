@@ -81,7 +81,13 @@ class LbltInfo:
 @_register_info
 @dataclasses.dataclass
 class LuInfo:
-    """Partial/full-pivot LU: number of transpositions (for determinant sign)."""
+    """Partial/full-pivot LU transposition bookkeeping.
+
+    ``transposition_count`` is defined **parity-only** (0/1): it determines
+    the determinant sign, the only observable use.  The Pallas panel path
+    (``ops/pallas/lu_panel_v2.py``) computes the permutation parity directly
+    rather than a raw swap count, so consumers must not read it as a count.
+    """
 
     transposition_count: Any
     success: Any

@@ -168,6 +168,8 @@ def complex_schur(h, q, *, max_sweeps_factor: int = 30):
     # converged subdiagonal (observed: |h[i+1,i]| ~ 1e-15 next to ~1e-3 diag)
     hnorm0 = jnp.max(jnp.abs(h))
     smlnum = eps * jnp.maximum(hnorm0, jnp.asarray(dtypes.min_positive(rdt), rdt))
+    # dtype-aware cap: loosened floor stays <= sqrt(eps)*||H||
+    _stall_cap = dtypes.deflation_stall_cap(rdt)
 
     def body(state):
         h, q, hi, it, stall = state
@@ -176,7 +178,7 @@ def complex_schur(h, q, *, max_sweeps_factor: int = 30):
         dmag = jnp.abs(jnp.diagonal(h))
         # progressive deflation floor (see real_schur.py): guarantees
         # progress on stuck interior couplings; resets with the stall counter
-        floor = smlnum * (2.0 ** jnp.minimum(stall // 5, 24))
+        floor = smlnum * (2.0 ** jnp.minimum(stall // 5, _stall_cap))
         tol = jnp.maximum(eps * (dmag[:-1] + dmag[1:]), floor)
         negligible = jnp.abs(sd) <= tol
         # deflate: while sd[hi-1] negligible → hi -= 1 (do one per iteration)
@@ -264,11 +266,25 @@ def complex_schur(h, q, *, max_sweeps_factor: int = 30):
 def _combine_pair(re, im):
     """re + i·im as a native complex array when the data lives on a
     complex-capable device, else a host numpy complex array (this TPU
-    runtime has no complex element types)."""
+    runtime has no complex element types).
+
+    NOTE: on the TPU runtime the non-traced result is a **host numpy**
+    complex array, not a jax array — the jittable TPU API is the ``*_pair``
+    functions, which keep everything as (re, im) device arrays.
+    """
     cdt = dtypes.complex_dtype_of(re.dtype)
     try:
         platform = next(iter(re.devices())).platform
-    except Exception:  # traced values — assume complex-capable
+    except Exception:
+        # traced values carry no device info.  On the complex-free TPU
+        # runtime a complex astype would fail with a deep XLA lowering
+        # error — raise the actionable message here instead.
+        if _complex_unsupported():
+            raise NotImplementedError(
+                "jit(evd)/jit(eigenvalues) produce complex outputs, which "
+                "this TPU runtime does not support; use evd_pair/"
+                "eigenvalues_pair (the jittable (re, im) API) or run under "
+                "jax.default_device(jax.devices('cpu')[0]).")
         platform = "cpu"
     if platform in ("cpu", "gpu", "cuda", "rocm"):
         return re.astype(cdt) + jnp.asarray(1j, cdt) * im.astype(cdt)
@@ -287,16 +303,6 @@ def _complex_unsupported() -> bool:
         return _jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
-
-
-def _require_complex_backend(what: str):
-    """Complex paths without a split-pair fallback (e.g. QZ) still need a
-    complex-capable backend; fail with an actionable message."""
-    if _complex_unsupported():
-        raise NotImplementedError(
-            f"{what} uses complex arithmetic, which this TPU runtime does not "
-            "support. Run it on CPU, e.g. `with "
-            "jax.default_device(jax.devices('cpu')[0]): ...`.")
 
 
 @functools.partial(jax.jit, static_argnames=("max_sweeps_factor",))

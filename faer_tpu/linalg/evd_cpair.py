@@ -135,6 +135,8 @@ def complex_schur_pair(h, q, *, max_sweeps_factor: int = 30):
     max_iters = max_sweeps_factor * n
     hnorm0 = jnp.maximum(jnp.max(jnp.abs(hr)), jnp.max(jnp.abs(hi)))
     smlnum = eps * jnp.maximum(hnorm0, jnp.asarray(dtypes.min_positive(rdt), rdt))
+    # dtype-aware cap: loosened floor stays <= sqrt(eps)*||H||
+    _stall_cap = dtypes.deflation_stall_cap(rdt)
 
     def subdiag(hr, hi):
         return jnp.diagonal(hr, -1), jnp.diagonal(hi, -1)
@@ -145,7 +147,7 @@ def complex_schur_pair(h, q, *, max_sweeps_factor: int = 30):
         dmag = cabs((jnp.diagonal(hr), jnp.diagonal(hi)))
         # progressive deflation floor (see real_schur.py): guarantees
         # progress on stuck interior couplings; resets with the stall counter
-        floor = smlnum * (2.0 ** jnp.minimum(stall // 5, 24))
+        floor = smlnum * (2.0 ** jnp.minimum(stall // 5, _stall_cap))
         tol = jnp.maximum(eps * (dmag[:-1] + dmag[1:]), floor)
         negligible = cabs(sd) <= tol
         can_deflate = (hi_idx > 0) & negligible[jnp.maximum(hi_idx - 1, 0)]

@@ -121,6 +121,8 @@ def qz_iteration(h, r, q, z, *, max_sweeps_factor: int = 30):
     max_iters = max_sweeps_factor * n
     hnorm0 = jnp.max(jnp.abs(h))
     smlnum = eps * jnp.maximum(hnorm0, jnp.asarray(dtypes.min_positive(rdt), rdt))
+    # dtype-aware cap: loosened floor stays <= sqrt(eps)*||H||
+    _stall_cap = dtypes.deflation_stall_cap(rdt)
 
     def body(state):
         h, r, q, z, hi, it, stall = state
@@ -128,7 +130,7 @@ def qz_iteration(h, r, q, z, *, max_sweeps_factor: int = 30):
         dmag = jnp.abs(jnp.diagonal(h))
         # progressive deflation floor (see real_schur.py): guarantees
         # progress on stuck interior couplings; resets with the stall counter
-        floor = smlnum * (2.0 ** jnp.minimum(stall // 5, 24))
+        floor = smlnum * (2.0 ** jnp.minimum(stall // 5, _stall_cap))
         tol = jnp.maximum(eps * (dmag[:-1] + dmag[1:]), floor)
         negligible = jnp.abs(sd) <= tol
         can_deflate = (hi > 0) & negligible[jnp.maximum(hi - 1, 0)]

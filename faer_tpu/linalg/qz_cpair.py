@@ -192,6 +192,8 @@ def qz_iteration_pair(h, r, q, z, *, max_sweeps_factor: int = 30):
     max_iters = max_sweeps_factor * n
     hnorm0 = jnp.maximum(jnp.max(jnp.abs(h[0])), jnp.max(jnp.abs(h[1])))
     smlnum = eps * jnp.maximum(hnorm0, jnp.asarray(dtypes.min_positive(rdt), rdt))
+    # dtype-aware cap: loosened floor stays <= sqrt(eps)*||H||
+    _stall_cap = dtypes.deflation_stall_cap(rdt)
 
     def body(state):
         hr, hi, rr, ri, qr_, qi_, zr, zi, hi_idx, it, stall = state
@@ -203,7 +205,7 @@ def qz_iteration_pair(h, r, q, z, *, max_sweeps_factor: int = 30):
         dmag = cabs((jnp.diagonal(hr), jnp.diagonal(hi)))
         # progressive deflation floor (see real_schur.py): guarantees
         # progress on stuck interior couplings; resets with the stall counter
-        floor = smlnum * (2.0 ** jnp.minimum(stall // 5, 24))
+        floor = smlnum * (2.0 ** jnp.minimum(stall // 5, _stall_cap))
         tol = jnp.maximum(eps * (dmag[:-1] + dmag[1:]), floor)
         negligible = cabs(sd) <= tol
         can_deflate = (hi_idx > 0) & negligible[jnp.maximum(hi_idx - 1, 0)]

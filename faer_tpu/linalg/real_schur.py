@@ -99,6 +99,8 @@ def real_schur(h, q, *, max_sweeps_factor: int = 30):
     hnorm0 = jnp.max(jnp.abs(h))
     rdt = dtypes.real_dtype_of(dtype)
     smlnum = eps * jnp.maximum(hnorm0, jnp.asarray(dtypes.min_positive(rdt), rdt))
+    # dtype-aware cap: loosened floor stays <= sqrt(eps)*||H||
+    _stall_cap = dtypes.deflation_stall_cap(rdt)
 
     def body(state):
         hp, qp, hi, it, stall = state
@@ -110,7 +112,7 @@ def real_schur(h, q, *, max_sweeps_factor: int = 30):
         # exponentially with the stall counter guarantees progress with a
         # bounded backward perturbation, while non-stalling matrices keep
         # the tight tolerance (stall resets on every deflation).
-        floor = smlnum * (2.0 ** jnp.minimum(stall // 5, 24))
+        floor = smlnum * (2.0 ** jnp.minimum(stall // 5, _stall_cap))
         tol = jnp.maximum(eps * (jnp.abs(d[:-1]) + jnp.abs(d[1:])), floor)
         negligible = jnp.abs(sd) <= tol
         # zero negligible subdiagonal entries (backward-stable perturbation)

@@ -237,8 +237,7 @@ def factorize_numeric_ldlt(symb: SymbolicCholesky, a: SparseCscMat, *,
     ls = symb.l_symbolic
     dtype = ap.values.dtype
     lvals = np.zeros(ls.nnz, dtype=dtype)
-    d = np.zeros(n, dtype=np.float64 if not np.iscomplexobj(ap.values)
-                 else np.float64)
+    d = np.zeros(n, dtype=ap.values.real.dtype)
     pos = {}
     for j in range(n):
         r = ls.col_range(j)

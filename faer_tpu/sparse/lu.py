@@ -50,8 +50,17 @@ def factorize_numeric_lu(a: SparseCscMat, *, col_perm: np.ndarray | None = None,
     m, n = a.nrows, a.ncols
     assert m == n, "sparse LU requires a square matrix"
     if method == "auto":
-        method = "supernodal" if n >= 200 and col_perm is None else "simplicial"
+        # multifrontal front pivoting is plain partial pivoting — a custom
+        # pivot_threshold (like a custom col_perm) only exists on the
+        # Gilbert–Peierls path, so honor it by routing there
+        method = ("supernodal"
+                  if n >= 200 and col_perm is None and pivot_threshold == 1.0
+                  else "simplicial")
     if method == "supernodal":
+        if pivot_threshold != 1.0:
+            raise ValueError(
+                "pivot_threshold is only supported by the simplicial "
+                "(Gilbert-Peierls) path; use method='simplicial'")
         from faer_tpu.sparse.multifrontal import lu_numeric_multifrontal
 
         return lu_numeric_multifrontal(a)

@@ -1,15 +1,15 @@
-"""Sparse QR (R-factor via normal equations + corrected semi-normal solve).
+"""Sparse QR: multifrontal Householder R (default) with CSNE lstsq.
 
 Reference parity target: ``faer/src/sparse/linalg/qr.rs`` — symbolic from the
 cholesky of AᵀA (``factorize_symbolic_qr`` ``:2353``), supernodal Householder
 (``:305``), simplicial (``:1388``).
 
-Round-1 implementation note: the R factor is computed as the sparse Cholesky
-factor of AᵀA (same R as Householder QR up to signs), and least-squares solves
-use **corrected semi-normal equations** (CSNE: one step of iterative
-refinement), the standard sparse-QR-lite with accuracy adequate for
-moderately-conditioned systems. The supernodal Householder numeric path is the
-planned upgrade.
+The default path computes R by **multifrontal Householder QR**
+(``sparse/multifrontal.py``: frontal dense QRs on the MXU, R assembled from
+the fronts); the AᵀA-Cholesky R remains as a fallback (``method="ata"``).
+Least-squares solves use corrected semi-normal equations (CSNE: one step of
+iterative refinement) unless the stored frontal Householder vectors are
+available for a direct Qᵀb apply.
 """
 from __future__ import annotations
 
