@@ -305,25 +305,38 @@ def _complex_unsupported() -> bool:
         return False
 
 
+#: below this size the lahqr-class double-shift iteration wins (faer routes
+#: small blocks to ``lahqr`` the same way, ``real_schur.rs:2353``)
+_MULTISHIFT_MIN_N = 128
+
+
+def _real_schur_dispatch(h, q, *, max_sweeps_factor: int):
+    """Hessenberg → real Schur: multishift QR + AED for large n (GEMM-bound,
+    O(n/ns) sweeps), lahqr-class double-shift below ``_MULTISHIFT_MIN_N``."""
+    from faer_tpu.linalg.real_schur import real_schur
+
+    if h.shape[0] >= _MULTISHIFT_MIN_N:
+        from faer_tpu.linalg.schur_multishift import multishift_real_schur
+
+        return multishift_real_schur(h, q)
+    return real_schur(h, q, max_sweeps_factor=max_sweeps_factor)
+
+
 @functools.partial(jax.jit, static_argnames=("max_sweeps_factor",))
 def evd_pair(a, *, max_sweeps_factor: int = 30):
     """General REAL eigendecomposition as (re, im) pairs — fully jittable and
     TPU-native.  Returns ``((wr, wi), (vr, vi), info)`` with
     ``A (vr+i·vi)_k = (wr+i·wi)_k (vr+i·vi)_k``; conjugate eigenpairs are
     adjacent.  faer ``evd_real`` (``evd/mod.rs:1213``) via the real Francis
-    double-shift Schur (``real_schur.rs:2117``).
-
-    .. warning:: at n ≥ ~1024 the Schur ``while_loop`` is a single
-       multi-minute device dispatch; through this environment's axon tunnel
-       that trips the TPU worker watchdog ("TPU worker process crashed").
-       Run large general-EVD problems on CPU until the multishift+AED
-       upgrade lands (PARITY.md round-3 targets).
+    double-shift Schur (``real_schur.rs:2117``); n ≥ 128 routes to the
+    multishift+AED path (``schur_multishift.py``), whose GEMM-dominated
+    sweeps keep large-n dispatches MXU-bound.
     """
     from faer_tpu.linalg.eigvec import quasi_triangular_eigenvectors_pair
-    from faer_tpu.linalg.real_schur import real_schur, schur_eigenvalues_pair
+    from faer_tpu.linalg.real_schur import schur_eigenvalues_pair
 
     h, q = hessenberg_in_place(a)
-    t, qs, info = real_schur(h, q, max_sweeps_factor=max_sweeps_factor)
+    t, qs, info = _real_schur_dispatch(h, q, max_sweeps_factor=max_sweeps_factor)
     wr, wi = schur_eigenvalues_pair(t)
     xr, xi = quasi_triangular_eigenvectors_pair(t, wr, wi)
     vr = matmul(None, qs, xr)
@@ -334,10 +347,10 @@ def evd_pair(a, *, max_sweeps_factor: int = 30):
 @functools.partial(jax.jit, static_argnames=("max_sweeps_factor",))
 def eigenvalues_pair(a, *, max_sweeps_factor: int = 30):
     """Eigenvalues of a real matrix as ``(re, im)`` — jittable, TPU-native."""
-    from faer_tpu.linalg.real_schur import real_schur, schur_eigenvalues_pair
+    from faer_tpu.linalg.real_schur import schur_eigenvalues_pair
 
     h, q = hessenberg_in_place(a)
-    t, _, _ = real_schur(h, q, max_sweeps_factor=max_sweeps_factor)
+    t, _, _ = _real_schur_dispatch(h, q, max_sweeps_factor=max_sweeps_factor)
     return schur_eigenvalues_pair(t)
 
 
