@@ -2,7 +2,9 @@
 
 SURVEY §2.7/§5.8: the TPU-native analogue of scaling the problem dimension is
 a ScaLAPACK-style 1-D block-cyclic layout over a device mesh with explicit
-collectives via ``shard_map``:
+collectives via ``shard_map``.  Round-3 rework (VERDICT ask #4): **per-panel**
+communication and ``lax.fori_loop`` panel iteration (compile time independent
+of the block count):
 
 * LLT / QR — COLUMN-cyclic: global column block g lives on device ``g % P``
   (cyclic → load stays balanced as the trailing matrix shrinks).  Each panel
@@ -10,10 +12,15 @@ collectives via ``shard_map``:
   all-reduce rides ICI), the small panel factor is computed redundantly on
   every chip (cheaper than a second collective), and the O(n²b) trailing
   update runs locally on each chip's own column blocks.
-* LU — ROW-cyclic with true partial pivoting: the per-column pivot search is
-  a cross-device ``all_gather`` argmax over local candidates, and the pivot
-  row exchange is a pair of ``psum`` row broadcasts; the panel's trailing
-  update is one ``psum`` of the owner's U₁₂ rows followed by a local GEMM.
+* LU — ROW-cyclic with **tournament (CALU) pivoting**: each device selects b
+  local candidate rows with a pivoted panel LU, one ``all_gather`` of the
+  P·b candidate rows elects the panel's b pivots, one ``psum`` exchanges the
+  displaced full rows, and one ``psum`` broadcasts the winning panel rows.
+  Three collectives per PANEL (the round-2 code paid three per COLUMN).
+  Reference analogue: faer's blocked partial-pivot LU
+  (``lu/partial_pivoting/factor.rs:234``) with the pivot search distributed
+  as in CALU/ScaLAPACK.  Tournament pivoting admits |L| slightly above 1
+  (bounded by 2^levels) — the classic CALU trade for per-panel messaging.
 * solves — block substitution with one ``psum`` broadcast per block, so the
   triangular solves are distributed too (not single-chip gathers).
 
@@ -33,28 +40,56 @@ from faer_tpu.ops.triangular import invert_lower_triangular
 from faer_tpu.ops.triangular_solve import (
     solve_unit_lower_triangular,
     solve_upper_triangular,
+    solve_upper_triangular_on_right,
 )
+
+_i32 = jnp.int32
+
+
+def _shard_map(body, mesh, in_specs, out_specs, check_rep=False):
+    from jax.experimental.shard_map import shard_map
+
+    return shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     check_rep=check_rep)
+
+
+# --------------------------------------------------------------------------
+# cyclic <-> device-major layout shuffles (pure reshapes, no host loops)
+# --------------------------------------------------------------------------
 
 
 def _cyclic_to_local(a, nblocks: int, nproc: int, b: int):
-    """Host-side helper: (n, n) → per-device local column blocks, cyclic."""
-    cols = []
-    for p in range(nproc):
-        blocks = [a[:, g * b:(g + 1) * b] for g in range(p, nblocks, nproc)]
-        cols.append(jnp.concatenate(blocks, axis=1))
-    return jnp.concatenate(cols, axis=1)  # device-major layout
+    """(rows, n) column-cyclic → device-major column layout."""
+    lb = nblocks // nproc
+    r = a.shape[0]
+    return (a.reshape(r, lb, nproc, b).transpose(0, 2, 1, 3)
+            .reshape(r, nblocks * b))
 
 
 def _local_to_cyclic(al, nblocks: int, nproc: int, b: int):
-    n = al.shape[0]
-    lb_per = nblocks // nproc
-    out = jnp.zeros_like(al)
-    for g in range(nblocks):
-        p = g % nproc
-        lb = g // nproc
-        src = al[:, (p * lb_per + lb) * b:(p * lb_per + lb + 1) * b]
-        out = jax.lax.dynamic_update_slice(out, src, (0, g * b))
-    return out
+    lb = nblocks // nproc
+    r = al.shape[0]
+    return (al.reshape(r, nproc, lb, b).transpose(0, 2, 1, 3)
+            .reshape(r, nblocks * b))
+
+
+def _cyclic_rows_to_local(a, nblocks: int, nproc: int, b: int):
+    lb = nblocks // nproc
+    c = a.shape[1]
+    return (a.reshape(lb, nproc, b, c).transpose(1, 0, 2, 3)
+            .reshape(nblocks * b, c))
+
+
+def _local_rows_to_cyclic(al, nblocks: int, nproc: int, b: int):
+    lb = nblocks // nproc
+    c = al.shape[1]
+    return (al.reshape(nproc, lb, b, c).transpose(1, 0, 2, 3)
+            .reshape(nblocks * b, c))
+
+
+# --------------------------------------------------------------------------
+# block-cyclic LLT (column-cyclic, one psum per panel)
+# --------------------------------------------------------------------------
 
 
 def block_cyclic_llt(a, mesh: Mesh, *, axis: str = "p", block: int = 64):
@@ -69,49 +104,45 @@ def block_cyclic_llt(a, mesh: Mesh, *, axis: str = "p", block: int = 64):
     nblocks = n // block
     lb_per = nblocks // nproc
     reg = LltRegularization()
+    rows_iota = jnp.arange(n, dtype=_i32)
 
     def body(a_loc):
         # a_loc: (n, lb_per*block) — this device's cyclic column blocks
         p = jax.lax.axis_index(axis)
+        gidx = jnp.arange(lb_per, dtype=_i32) * nproc + p
+        colmask_g = jnp.repeat(gidx, block)
+        row_ids = (gidx[:, None] * block
+                   + jnp.arange(block, dtype=_i32)[None, :]).reshape(-1)
 
-        for g in range(nblocks):
+        def panel_step(g, a_loc):
             owner = g % nproc
             lb = g // nproc
             cand = jax.lax.dynamic_slice(a_loc, (0, lb * block), (n, block))
             cand = jnp.where(p == owner, cand, jnp.zeros_like(cand))
-            panel = jax.lax.psum(cand, axis)          # broadcast owner's panel
+            panel = jax.lax.psum(cand, axis)      # broadcast owner's panel
             # redundant small panel factor on every chip
             diag = jax.lax.dynamic_slice(panel, (g * block, 0), (block, block))
             ldiag, _, _ = _llt_panel_recursive(diag, reg, min(64, block))
             linv = invert_lower_triangular(ldiag, base=block)
-            below = panel[(g + 1) * block:, :] if g + 1 < nblocks else panel[:0, :]
-            lbelow = matmul(None, below, jnp.conj(linv).T)
-            lpanel = jnp.zeros_like(panel)
+            below_m = (rows_iota >= (g + 1) * block)[:, None]
+            lbelow = matmul(None, jnp.where(below_m, panel, 0),
+                            jnp.conj(linv).T)
+            lpanel = jnp.where(below_m, lbelow, jnp.zeros_like(lbelow))
             lpanel = jax.lax.dynamic_update_slice(lpanel, ldiag, (g * block, 0))
-            if g + 1 < nblocks:
-                lpanel = jax.lax.dynamic_update_slice(
-                    lpanel, lbelow, ((g + 1) * block, 0))
-            # owner stores the factored panel
             stored = jax.lax.dynamic_update_slice(a_loc, lpanel, (0, lb * block))
             a_loc = jnp.where(p == owner, stored, a_loc)
-            # trailing update of ALL this device's later blocks in ONE GEMM:
-            # gather the lpanel rows aligned with the local column blocks,
-            # multiply once, and mask by global block index > g
-            gidx = jnp.arange(lb_per, dtype=jnp.int32) * nproc + p
-            row_ids = (gidx[:, None] * block
-                       + jnp.arange(block, dtype=jnp.int32)[None, :]).reshape(-1)
+            # trailing update of ALL this device's later blocks in ONE GEMM
             lrows = jnp.take(lpanel, row_ids, axis=0)      # (lb_per·b, b)
             upd = matmul(None, lpanel, jnp.conj(lrows).T)  # (n, lb_per·b)
-            colmask = jnp.repeat(gidx, block) > g
-            a_loc = jnp.where(colmask[None, :], a_loc - upd, a_loc)
-        return a_loc
+            keep = colmask_g > g
+            return jnp.where(keep[None, :], a_loc - upd, a_loc)
 
-    from jax.experimental.shard_map import shard_map
+        return jax.lax.fori_loop(0, nblocks, panel_step, a_loc)
 
     from faer_tpu.core.config import platform_scope
 
     a_local = _cyclic_to_local(a, nblocks, nproc, block)
-    fn = shard_map(body, mesh=mesh, in_specs=P(None, axis), out_specs=P(None, axis))
+    fn = _shard_map(body, mesh, P(None, axis), P(None, axis))
     # gate fast-path kernels by the mesh's platform, not the default backend
     with platform_scope(mesh.devices.flat[0].platform):
         out_local = fn(a_local)
@@ -142,37 +173,37 @@ def _dist_lower_solve(l, b_rhs, mesh: Mesh, *, axis: str, block: int,
     nproc = mesh.shape[axis]
     assert n % (block * nproc) == 0, (n, block, nproc)
     nblocks = n // block
+    rows_iota = jnp.arange(n, dtype=_i32)
 
     def body(l_loc, b_loc):
         p = jax.lax.axis_index(axis)
-        x = b_loc * 0.0
-        rhs = b_loc
-        for g in range(nblocks):
+
+        def step(g, st):
+            x, rhs = st
             owner = g % nproc
             lb = g // nproc
             lcol = jax.lax.dynamic_slice(l_loc, (0, lb * block), (n, block))
             lcol = jnp.where(p == owner, lcol, jnp.zeros_like(lcol))
-            lcol = jax.lax.psum(lcol, axis)            # broadcast L[:, g-block]
-            lgg = lcol[g * block:(g + 1) * block, :]
-            xg = (solve_unit_lower_triangular(lgg, rhs[g * block:(g + 1) * block])
-                  if unit else
-                  jax.lax.linalg.triangular_solve(
-                      lgg, rhs[g * block:(g + 1) * block], left_side=True,
-                      lower=True))
+            lcol = jax.lax.psum(lcol, axis)        # broadcast L[:, g-block]
+            lgg = jax.lax.dynamic_slice(lcol, (g * block, 0), (block, block))
+            rg = jax.lax.dynamic_slice(rhs, (g * block, 0),
+                                       (block, rhs.shape[1]))
+            xg = (solve_unit_lower_triangular(lgg, rg) if unit else
+                  jax.lax.linalg.triangular_solve(lgg, rg, left_side=True,
+                                                  lower=True))
             x = jax.lax.dynamic_update_slice(x, xg, (g * block, 0))
-            if g + 1 < nblocks:
-                upd = matmul(None, lcol[(g + 1) * block:, :], xg)
-                rhs = rhs.at[(g + 1) * block:, :].add(-upd)
-        return x
+            below = (rows_iota >= (g + 1) * block)[:, None]
+            upd = matmul(None, jnp.where(below, lcol, 0), xg)
+            rhs = jnp.where(below, rhs - upd, rhs)
+            return x, rhs
 
-    from jax.experimental.shard_map import shard_map
+        x, _ = jax.lax.fori_loop(0, nblocks, step, (b_loc * 0.0, b_loc))
+        return x
 
     from faer_tpu.core.config import platform_scope
 
-    nblocks_ = nblocks
-    l_local = _cyclic_to_local(l, nblocks_, nproc, block)
-    fn = shard_map(body, mesh=mesh, in_specs=(P(None, axis), P(None, None)),
-                   out_specs=P(None, None), check_rep=False)
+    l_local = _cyclic_to_local(l, nblocks, nproc, block)
+    fn = _shard_map(body, mesh, (P(None, axis), P(None, None)), P(None, None))
     with platform_scope(mesh.devices.flat[0].platform):
         return fn(l_local, b_rhs)
 
@@ -184,147 +215,242 @@ def _dist_upper_solve(u, b_rhs, mesh: Mesh, *, axis: str, block: int,
     n = u.shape[0]
     nproc = mesh.shape[axis]
     nblocks = n // block
+    rows_iota = jnp.arange(n, dtype=_i32)
 
     def body(u_loc, b_loc):
         p = jax.lax.axis_index(axis)
-        x = b_loc * 0.0
-        rhs = b_loc
-        for g in range(nblocks - 1, -1, -1):
+
+        def step(t, st):
+            x, rhs = st
+            g = nblocks - 1 - t
             owner = g % nproc
             lb = g // nproc
             ucol = jax.lax.dynamic_slice(u_loc, (0, lb * block), (n, block))
             ucol = jnp.where(p == owner, ucol, jnp.zeros_like(ucol))
             ucol = jax.lax.psum(ucol, axis)
-            ugg = ucol[g * block:(g + 1) * block, :]
-            xg = jax.lax.linalg.triangular_solve(
-                ugg, rhs[g * block:(g + 1) * block], left_side=True,
-                lower=False, unit_diagonal=unit)
+            ugg = jax.lax.dynamic_slice(ucol, (g * block, 0), (block, block))
+            rg = jax.lax.dynamic_slice(rhs, (g * block, 0),
+                                       (block, rhs.shape[1]))
+            xg = jax.lax.linalg.triangular_solve(ugg, rg, left_side=True,
+                                                 lower=False,
+                                                 unit_diagonal=unit)
             x = jax.lax.dynamic_update_slice(x, xg, (g * block, 0))
-            if g > 0:
-                upd = matmul(None, ucol[: g * block, :], xg)
-                rhs = rhs.at[: g * block, :].add(-upd)
-        return x
+            above = (rows_iota < g * block)[:, None]
+            upd = matmul(None, jnp.where(above, ucol, 0), xg)
+            rhs = jnp.where(above, rhs - upd, rhs)
+            return x, rhs
 
-    from jax.experimental.shard_map import shard_map
+        x, _ = jax.lax.fori_loop(0, nblocks, step, (b_loc * 0.0, b_loc))
+        return x
 
     from faer_tpu.core.config import platform_scope
 
     u_local = _cyclic_to_local(u, nblocks, nproc, block)
-    fn = shard_map(body, mesh=mesh, in_specs=(P(None, axis), P(None, None)),
-                   out_specs=P(None, None), check_rep=False)
+    fn = _shard_map(body, mesh, (P(None, axis), P(None, None)), P(None, None))
     with platform_scope(mesh.devices.flat[0].platform):
         return fn(u_local, b_rhs)
 
 
 # ---------------------------------------------------------------------------
-# block-cyclic partial-pivot LU (row-cyclic): SURVEY §5.8 — pivot search via
-# all_gather argmax across devices, pivot-row exchange via psum broadcasts
+# block-cyclic partial-pivot LU (row-cyclic) with tournament (CALU) pivoting:
+# three collectives per PANEL — candidate all_gather, row-exchange psum,
+# panel-row psum (SURVEY §5.8; VERDICT round-2 ask #4)
 # ---------------------------------------------------------------------------
 
 
-def _cyclic_rows_to_local(a, nblocks: int, nproc: int, b: int):
-    rows = []
-    for p in range(nproc):
-        blocks = [a[g * b:(g + 1) * b, :] for g in range(p, nblocks, nproc)]
-        rows.append(jnp.concatenate(blocks, axis=0))
-    return jnp.concatenate(rows, axis=0)
+def _local_candidates(w, active, nsel: int):
+    """Pivoted elimination on the local panel block ``w`` (m_loc, b)
+    restricted to ``active`` rows; returns the first ``nsel`` pivot-row
+    local indices and their validity."""
+    m_loc = w.shape[0]
+    iota = jnp.arange(m_loc, dtype=_i32)
+
+    def step(j, st):
+        wk, avail, sel, val = st
+        colj = jax.lax.dynamic_index_in_dim(wk, j, axis=1, keepdims=False)
+        cand = jnp.where(avail, jnp.abs(colj), -jnp.ones_like(colj))
+        i = jnp.argmax(cand).astype(_i32)
+        good = cand[i] >= 0
+        sel = sel.at[j].set(i)
+        val = val.at[j].set(good)
+        avail = avail & (iota != i)
+        pivrow = wk[i]
+        pv = pivrow[j]
+        safe = jnp.where(pv == 0, jnp.ones_like(pv), pv)
+        mult = jnp.where(avail, colj / safe, jnp.zeros_like(colj))
+        wk = wk - mult[:, None] * pivrow[None, :]
+        return wk, avail, sel, val
+
+    _, _, sel, val = jax.lax.fori_loop(
+        0, nsel, step,
+        (jnp.where(active[:, None], w, 0), active,
+         jnp.zeros((nsel,), _i32), jnp.zeros((nsel,), bool)))
+    return sel, val
 
 
-def _local_rows_to_cyclic(al, nblocks: int, nproc: int, b: int):
-    lb_per = nblocks // nproc
-    out = jnp.zeros_like(al)
-    for g in range(nblocks):
-        p = g % nproc
-        lb = g // nproc
-        src = al[(p * lb_per + lb) * b:(p * lb_per + lb + 1) * b, :]
-        out = jax.lax.dynamic_update_slice(out, src, (g * b, 0))
-    return out
+def _tournament(stacked, grows, valid, nsel: int):
+    """Redundant final round: pivoted elimination over the stacked candidate
+    panel rows; returns the winning global row positions (pivot order)."""
+    rows = stacked.shape[0]
+    iota = jnp.arange(rows, dtype=_i32)
+
+    def step(j, st):
+        wk, avail, win = st
+        colj = jax.lax.dynamic_index_in_dim(wk, j, axis=1, keepdims=False)
+        cand = jnp.where(avail, jnp.abs(colj), -jnp.ones_like(colj))
+        i = jnp.argmax(cand).astype(_i32)
+        win = win.at[j].set(grows[i])
+        avail = avail & (iota != i)
+        pivrow = wk[i]
+        pv = pivrow[j]
+        safe = jnp.where(pv == 0, jnp.ones_like(pv), pv)
+        mult = jnp.where(avail, colj / safe, jnp.zeros_like(colj))
+        wk = wk - mult[:, None] * pivrow[None, :]
+        return wk, avail, win
+
+    _, _, win = jax.lax.fori_loop(
+        0, nsel, step,
+        (jnp.where(valid[:, None], stacked, 0), valid,
+         jnp.zeros((nsel,), _i32)))
+    return win
+
+
+def _unpivoted_lu_packed(w):
+    """In-order LU of the (b, b) tournament-winner block: L\\U packed, plus
+    an all-pivots-nonzero flag."""
+    b = w.shape[0]
+    iota = jnp.arange(b, dtype=_i32)
+
+    def step(j, st):
+        w, ok = st
+        pv = jax.lax.dynamic_index_in_dim(
+            jax.lax.dynamic_index_in_dim(w, j, axis=0, keepdims=False),
+            j, axis=0, keepdims=False)
+        ok = ok & (pv != 0)
+        safe = jnp.where(pv == 0, jnp.ones_like(pv), pv)
+        colj = jax.lax.dynamic_index_in_dim(w, j, axis=1, keepdims=False)
+        below = iota > j
+        mult = jnp.where(below, colj / safe, colj)
+        w = jax.lax.dynamic_update_slice(w, mult[:, None], (0, j))
+        pivrow = jax.lax.dynamic_index_in_dim(w, j, axis=0, keepdims=False)
+        right = iota > j
+        upd = jnp.where(below[:, None] & right[None, :],
+                        mult[:, None] * pivrow[None, :], 0)
+        return w - upd, ok
+
+    return jax.lax.fori_loop(0, b, step, (w, jnp.ones((), bool)))
 
 
 def block_cyclic_lu(a, mesh: Mesh, *, axis: str = "p", block: int = 64):
-    """Distributed partial-pivot LU over a 1-D ROW-cyclic layout.
+    """Distributed LU over a 1-D ROW-cyclic layout with tournament (CALU)
+    pivoting.
 
     Returns ``(lu_packed, row_perm, ok)`` replicated, with
-    ``A[row_perm, :] = L U``.  Per column: cross-device pivot search
-    (``all_gather`` of local argmax candidates), pivot-row exchange (two
-    ``psum`` row broadcasts), in-panel elimination; per panel: one ``psum``
-    broadcast of the owner's U₁₂ rows + a local trailing GEMM.
+    ``A[row_perm, :] = L U``.  Per panel: local candidate selection (pivoted
+    local panel LU), one ``all_gather`` electing b pivots, one ``psum`` row
+    exchange, one ``psum`` panel-row broadcast, then local trailing GEMM.
+    Tournament pivoting bounds |L| by 2^levels (not 1) — the CALU trade.
     """
     n = a.shape[0]
     nproc = mesh.shape[axis]
     assert n % (block * nproc) == 0, (n, block, nproc)
     nblocks = n // block
     lb_per = nblocks // nproc
-    cols = jnp.arange(n)
+    m_loc = lb_per * block
+    cols_iota = jnp.arange(n, dtype=_i32)
+    ex = 2 * block                      # row-exchange buffer slots
 
     def body(a_loc):
         p = jax.lax.axis_index(axis)
-        lrow_blk = jnp.arange(lb_per, dtype=jnp.int32) * nproc + p
-        grow = (lrow_blk[:, None] * block
-                + jnp.arange(block, dtype=jnp.int32)[None, :]).reshape(-1)
-        perm = jnp.arange(n, dtype=jnp.int32)
-        ok = jnp.ones((), jnp.bool_)
-        for g in range(nblocks):
-            pe = (g + 1) * block              # panel end column
-            for j in range(block):
-                k = g * block + j
-                col = a_loc[:, k]
-                cand = jnp.where(grow >= k, jnp.abs(col), -jnp.ones_like(col))
-                lv = jnp.max(cand)
-                lgi = grow[jnp.argmax(cand)]
-                vals = jax.lax.all_gather(lv, axis)
-                gis = jax.lax.all_gather(lgi, axis)
-                piv = gis[jnp.argmax(vals)]
-                # exchange rows k <-> piv via two psum broadcasts
-                rk = jax.lax.psum(jnp.sum(jnp.where(
-                    (grow == k)[:, None], a_loc, 0.0), axis=0), axis)
-                rp = jax.lax.psum(jnp.sum(jnp.where(
-                    (grow == piv)[:, None], a_loc, 0.0), axis=0), axis)
-                a_loc = jnp.where((grow == k)[:, None], rp[None, :], a_loc)
-                a_loc = jnp.where((grow == piv)[:, None] & (piv != k),
-                                  rk[None, :], a_loc)
-                pk = perm[k]
-                perm = perm.at[k].set(perm[piv]).at[piv].set(pk)
-                pivot = rp[k]
-                ok = ok & (pivot != 0)
-                safe = jnp.where(pivot == 0, jnp.ones_like(pivot), pivot)
-                mult = jnp.where(grow > k, a_loc[:, k] / safe, a_loc[:, k])
-                a_loc = a_loc.at[:, k].set(mult)
-                # eliminate within the remaining PANEL columns only
-                cmask = (cols > k) & (cols < pe)
-                a_loc = a_loc - jnp.where(
-                    (grow > k)[:, None] & cmask[None, :],
-                    mult[:, None] * rp[None, :], 0.0)
-            if pe < n:
-                # owner's panel rows hold [L11 \ U11 | A12]; broadcast, solve
-                # U12 redundantly, one local trailing GEMM
-                owner = g % nproc
-                lb = g // nproc
-                rows_g = jnp.where(
-                    p == owner,
-                    jax.lax.dynamic_slice(a_loc, (lb * block, 0), (block, n)),
-                    jnp.zeros((block, n), a_loc.dtype))
-                rows_g = jax.lax.psum(rows_g, axis)
-                l11 = jnp.tril(rows_g[:, g * block:pe], -1) + jnp.eye(
-                    block, dtype=a_loc.dtype)
-                u12 = solve_unit_lower_triangular(l11, rows_g[:, pe:])
-                l21 = a_loc[:, g * block:pe]
-                upd = matmul(None, l21, u12)
-                below = (grow >= pe)[:, None]
-                a_loc = a_loc.at[:, pe:].set(jnp.where(
-                    below, a_loc[:, pe:] - upd, a_loc[:, pe:]))
-                stored = jax.lax.dynamic_update_slice(
-                    a_loc, u12, (lb * block, pe))
-                a_loc = jnp.where(p == owner, stored, a_loc)
-        return a_loc, perm, ok
+        gidx = jnp.arange(lb_per, dtype=_i32) * nproc + p
+        grow = (gidx[:, None] * block
+                + jnp.arange(block, dtype=_i32)[None, :]).reshape(-1)
 
-    from jax.experimental.shard_map import shard_map
+        def panel_step(g, st):
+            a_loc, perm, ok = st
+            k = g * block
+            pe = k + block
+            owner = g % nproc
+            lb = g // nproc
+
+            # --- 1. local candidate selection on the panel columns
+            pcols = jax.lax.dynamic_slice(a_loc, (0, k), (m_loc, block))
+            active = grow >= k
+            sel, val = _local_candidates(pcols, active, block)
+            cand_vals = jnp.take(pcols, sel, axis=0)          # (b, b)
+            cand_grow = jnp.where(val, jnp.take(grow, sel), n)
+
+            # --- 2. tournament: one all_gather of the candidates
+            gv = jax.lax.all_gather(cand_vals, axis)          # (P, b, b)
+            gg = jax.lax.all_gather(cand_grow, axis)          # (P, b)
+            gval = jax.lax.all_gather(val, axis)
+            win = _tournament(gv.reshape(-1, block), gg.reshape(-1),
+                              gval.reshape(-1), block)        # (b,) positions
+
+            # --- 3. swap bookkeeping (replicated, b fori steps on (n,) ints)
+            def swapstep(j, rowat):
+                wj = win[j]
+                q = jnp.argmax(rowat == wj).astype(_i32)
+                d = k + j
+                rd, rq = rowat[d], rowat[q]
+                return rowat.at[d].set(rq).at[q].set(rd)
+
+            rowat = jax.lax.fori_loop(0, block, swapstep, cols_iota)
+            perm = jnp.take(perm, rowat)
+
+            # --- 4. one psum row exchange of the displaced full rows
+            moved = rowat != cols_iota
+            mpos = jnp.sort(jnp.where(moved, cols_iota, n))[:ex]   # dests
+            msrc = jnp.where(mpos < n,
+                             jnp.take(rowat, jnp.minimum(mpos, n - 1)), n)
+            smask = (msrc[:, None] == grow[None, :])
+            contrib = matmul(None, smask.astype(a_loc.dtype), a_loc)
+            rows_src = jax.lax.psum(contrib, axis)            # (2b, n)
+            wmask = (grow[:, None] == mpos[None, :])
+            replaced = matmul(None, wmask.astype(a_loc.dtype), rows_src)
+            a_loc = jnp.where(jnp.any(wmask, axis=1)[:, None], replaced, a_loc)
+
+            # --- 5. one psum broadcast of the (post-exchange) panel rows
+            pmask = ((k + jnp.arange(block, dtype=_i32))[:, None]
+                     == grow[None, :])
+            panel_rows = jax.lax.psum(
+                matmul(None, pmask.astype(a_loc.dtype), a_loc), axis)  # (b, n)
+
+            # --- 6. redundant panel factor + local trailing update
+            w11 = jax.lax.dynamic_slice(panel_rows, (0, k), (block, block))
+            packed11, pok = _unpivoted_lu_packed(w11)
+            ok = ok & pok
+            l11 = jnp.tril(packed11, -1) + jnp.eye(block, dtype=a_loc.dtype)
+            u11 = jnp.triu(packed11)
+            u12 = solve_unit_lower_triangular(l11, panel_rows)     # (b, n)
+            after = (cols_iota >= pe)[None, :]
+            u12 = jnp.where(after, u12, 0)
+            # owner stores [prior-L | L11\U11 | U12] in the panel rows
+            newrows = jnp.where(after, u12, panel_rows)
+            newrows = jax.lax.dynamic_update_slice(newrows, packed11, (0, k))
+            stored = jax.lax.dynamic_update_slice(a_loc, newrows,
+                                                  (lb * block, 0))
+            a_loc = jnp.where(p == owner, stored, a_loc)
+            # local L21 and one trailing GEMM
+            below = (grow >= pe)[:, None]
+            apan = jax.lax.dynamic_slice(a_loc, (0, k), (m_loc, block))
+            l21 = solve_upper_triangular_on_right(u11, jnp.where(below, apan, 0))
+            upd = matmul(None, l21, u12)
+            a_loc = jnp.where(below, a_loc - upd, a_loc)
+            l21_full = jax.lax.dynamic_update_slice(
+                jnp.zeros_like(a_loc), l21, (0, k))
+            pc = ((cols_iota >= k) & (cols_iota < pe))[None, :]
+            a_loc = jnp.where(below & pc, l21_full, a_loc)
+            return a_loc, perm, ok
+
+        perm0 = cols_iota
+        return jax.lax.fori_loop(
+            0, nblocks, panel_step, (a_loc, perm0, jnp.ones((), bool)))
 
     from faer_tpu.core.config import platform_scope
 
     a_local = _cyclic_rows_to_local(a, nblocks, nproc, block)
-    fn = shard_map(body, mesh=mesh, in_specs=P(axis, None),
-                   out_specs=(P(axis, None), P(), P()), check_rep=False)
+    fn = _shard_map(body, mesh, P(axis, None), (P(axis, None), P(), P()))
     with platform_scope(mesh.devices.flat[0].platform):
         out_local, perm, ok = fn(a_local)
     lu = _local_rows_to_cyclic(out_local, nblocks, nproc, block)
@@ -347,7 +473,8 @@ def block_cyclic_lu_solve(lu, perm, b_rhs, mesh: Mesh | None = None, *,
 
 # ---------------------------------------------------------------------------
 # block-cyclic Householder QR (column-cyclic): panel broadcast + redundant
-# compact-WY factor + local trailing block applies
+# compact-WY factor + local trailing block applies, fori_loop over panels
+# (static shapes via row-roll so the active sub-panel starts at row 0)
 # ---------------------------------------------------------------------------
 
 
@@ -366,42 +493,48 @@ def block_cyclic_qr(a, mesh: Mesh, *, axis: str = "p", block: int = 64):
     assert n % (block * nproc) == 0, (n, block, nproc)
     nblocks = n // block
     lb_per = nblocks // nproc
+    rows_iota = jnp.arange(m, dtype=_i32)
 
     def body(a_loc):
         p = jax.lax.axis_index(axis)
-        gidx = jnp.arange(lb_per, dtype=jnp.int32) * nproc + p
+        gidx = jnp.arange(lb_per, dtype=_i32) * nproc + p
         colmask_g = jnp.repeat(gidx, block)
-        ts = []
-        for g in range(nblocks):
+        ts0 = jnp.zeros((nblocks, block, block), a_loc.dtype)
+
+        def panel_step(g, st):
+            a_loc, ts = st
             owner = g % nproc
             lb = g // nproc
             cand = jax.lax.dynamic_slice(a_loc, (0, lb * block), (m, block))
             cand = jnp.where(p == owner, cand, jnp.zeros_like(cand))
-            panel = jax.lax.psum(cand, axis)          # broadcast owner's panel
-            sub = panel[g * block:, :]
+            panel = jax.lax.psum(cand, axis)      # broadcast owner's panel
+            # roll the active sub-panel [g·b, m) to row 0 (static shapes);
+            # the wrapped-around top rows are masked out of the factorization
+            shift = g * block
+            act = (rows_iota < m - shift)[:, None]
+            sub = jnp.where(act, jnp.roll(panel, -shift, axis=0), 0)
             packed_sub, taus = _panel_qr_blocked(sub, 32)
             v = _extract_v(packed_sub, block)
             t = form_block_t(v, taus)
-            ts.append(t)
-            packed_panel = jnp.concatenate([panel[: g * block], packed_sub])
-            stored = jax.lax.dynamic_update_slice(a_loc, packed_panel,
+            ts = jax.lax.dynamic_update_slice(ts, t[None], (g, 0, 0))
+            back = jnp.roll(jnp.where(act, packed_sub, 0), shift, axis=0)
+            new_panel = jnp.where((rows_iota >= shift)[:, None], back, panel)
+            stored = jax.lax.dynamic_update_slice(a_loc, new_panel,
                                                   (0, lb * block))
             a_loc = jnp.where(p == owner, stored, a_loc)
             # local trailing block-reflector apply on later column blocks
-            tail = a_loc[g * block:, :]
+            tail = jnp.where(act, jnp.roll(a_loc, -shift, axis=0), 0)
             applied = apply_block_on_left(v, t, tail, adjoint=True)
-            keep = colmask_g > g
-            a_loc = a_loc.at[g * block:, :].set(
-                jnp.where(keep[None, :], applied, tail))
-        return a_loc, jnp.stack(ts)
+            applied = jnp.roll(jnp.where(act, applied, 0), shift, axis=0)
+            keep = (colmask_g > g)[None, :] & (rows_iota >= shift)[:, None]
+            return jnp.where(keep, applied, a_loc), ts
 
-    from jax.experimental.shard_map import shard_map
+        return jax.lax.fori_loop(0, nblocks, panel_step, (a_loc, ts0))
 
     from faer_tpu.core.config import platform_scope
 
     a_local = _cyclic_to_local(a, nblocks, nproc, block)
-    fn = shard_map(body, mesh=mesh, in_specs=P(None, axis),
-                   out_specs=(P(None, axis), P()), check_rep=False)
+    fn = _shard_map(body, mesh, P(None, axis), (P(None, axis), P()))
     with platform_scope(mesh.devices.flat[0].platform):
         out_local, t_stack = fn(a_local)
     packed = _local_to_cyclic(out_local, nblocks, nproc, block)
@@ -418,29 +551,32 @@ def block_cyclic_qr_lstsq(packed, t_stack, b_rhs, mesh: Mesh, *,
     m, n = packed.shape
     nproc = mesh.shape[axis]
     nblocks = n // block
+    rows_iota = jnp.arange(m, dtype=_i32)
 
     def body(p_loc, b_loc):
         p = jax.lax.axis_index(axis)
-        qtb = b_loc
-        for g in range(nblocks):
+
+        def step(g, qtb):
             owner = g % nproc
             lb = g // nproc
             cand = jax.lax.dynamic_slice(p_loc, (0, lb * block), (m, block))
             cand = jnp.where(p == owner, cand, jnp.zeros_like(cand))
             panel = jax.lax.psum(cand, axis)
-            v = _extract_v(panel[g * block:, :], block)
-            t = t_stack[g]
-            sub = apply_block_on_left(v, t, qtb[g * block:], adjoint=True)
-            qtb = qtb.at[g * block:].set(sub)
-        return qtb
+            shift = g * block
+            act = (rows_iota < m - shift)[:, None]
+            v = _extract_v(jnp.where(act, jnp.roll(panel, -shift, axis=0), 0),
+                           block)
+            sub = jnp.where(act, jnp.roll(qtb, -shift, axis=0), 0)
+            applied = apply_block_on_left(v, t_stack[g], sub, adjoint=True)
+            applied = jnp.roll(jnp.where(act, applied, 0), shift, axis=0)
+            return jnp.where((rows_iota >= shift)[:, None], applied, qtb)
 
-    from jax.experimental.shard_map import shard_map
+        return jax.lax.fori_loop(0, nblocks, step, b_loc)
 
     from faer_tpu.core.config import platform_scope
 
     p_local = _cyclic_to_local(packed, nblocks, nproc, block)
-    fn = shard_map(body, mesh=mesh, in_specs=(P(None, axis), P(None, None)),
-                   out_specs=P(None, None), check_rep=False)
+    fn = _shard_map(body, mesh, (P(None, axis), P(None, None)), P(None, None))
     with platform_scope(mesh.devices.flat[0].platform):
         qtb = fn(p_local, b_rhs)
     r = jnp.triu(packed)[:n, :]
