@@ -163,11 +163,12 @@ def _panel_lu_blocked(panel, base: int):
                 # tournament pivoting: the kernel's per-step cost grows
                 # superlinearly with lanes past ~2k rows
                 return _lu_leaf_calu(panel)
-            # transposed virtual-pivot kernel: ~5x the v1 per-step throughput
-            # (sub-block eager updates touch (8, m), not (b, m))
-            from faer_tpu.ops.pallas.lu_panel_v2 import lu_panel_v2_pallas
+            # unrolled transposed virtual-pivot kernel (v3): straight-line
+            # sub-block steps with direct row addressing — measured ~19%
+            # faster than the fori-loop v2 at (4096, 128/256)
+            from faer_tpu.ops.pallas.lu_panel_v3 import lu_panel_v3_pallas
 
-            return lu_panel_v2_pallas(panel)
+            return lu_panel_v3_pallas(panel)
         return _panel_lu(panel)
     h = (b + 1) // 2
     left, perm1, nt1, ok1 = _panel_lu_blocked(panel[:, :h], base)

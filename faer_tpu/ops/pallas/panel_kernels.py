@@ -521,3 +521,91 @@ def bidiag_sweep_pallas(d, e, l, m, mu):
     )(lm, jnp.reshape(mu, (1,)), d[:, None], e[:, None])
     d2, e2, c1, s1, c2, s2 = outs
     return d2[:, 0], e2[:, 0], c1[:, 0], s1[:, 0], c2[:, 0], s2[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# LLT diagonal block, v3: unrolled sub-blocked elimination
+# ---------------------------------------------------------------------------
+
+def _llt_block_v3_kernel(a_ref, o_ref, cnt_ref, ok_ref, *, b, bvalid,
+                         eps, delta):
+    """Rows of o_ref = columns of A (symmetric input, so the storage is its
+    own transpose).  Python-unrolled 8-column sub-blocks: each step reads its
+    column row directly and eagerly updates only the columns below it inside
+    the sub-block; the cross-sub-block Schur update is one exact GEMM per
+    row-chunk (no Neumann coupling — unlike LU, both rank-update factors come
+    from *final* panel columns)."""
+    SB = 8
+    o_ref[:] = a_ref[:]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+    cnt = jnp.zeros((), jnp.int32)
+    ok = jnp.ones((), jnp.bool_)
+
+    def _dot(x, y):
+        return jax.lax.dot_general(x, y, (((1,), (0,)), ((), ())),
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=jnp.float32)
+
+    nsub = (bvalid + SB - 1) // SB
+    for s in range(nsub):
+        sb0 = s * SB
+        nj = min(SB, bvalid - sb0)
+        for jl in range(nj):
+            j = sb0 + jl
+            colj = o_ref[j:j + 1, :]                      # (1, b) = A[:, j]
+            pj = jnp.sum(colj[:, j:j + 1])
+            needs = pj <= delta
+            ok = ok & (pj > 0)
+            if eps > 0:
+                pj = jnp.where(needs, eps, pj)
+                cnt = cnt + jnp.where(needs, jnp.int32(1), jnp.int32(0))
+            else:
+                pj = jnp.where(pj <= 0, 1.0, pj)
+            piv = jnp.sqrt(pj)
+            col = jnp.where(lanes == j, piv,
+                            jnp.where(lanes > j, colj / piv, colj))
+            o_ref[j:j + 1, :] = col
+            if jl < nj - 1:
+                rest = o_ref[j + 1:sb0 + SB, :]           # (k, b)
+                uv = jnp.transpose(col[:, j + 1:sb0 + SB])  # (k, 1) = L[c, j]
+                o_ref[j + 1:sb0 + SB, :] = rest - uv * col
+        sb_end = sb0 + SB
+        if sb_end >= b:
+            continue
+        M = o_ref[sb0:sb0 + SB, :]                        # final sub-block L
+        RCH = 128
+        for c0 in range(sb_end, b, RCH):
+            cw = min(RCH, b - c0)
+            lc = jnp.transpose(M[:, c0:c0 + cw])          # (cw, SB) = L[c, j]
+            o_ref[c0:c0 + cw, :] = o_ref[c0:c0 + cw, :] - _dot(lc, M)
+    cnt_ref[0, 0] = cnt
+    ok_ref[0, 0] = ok.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "delta"))
+def llt_block_v3_pallas(block, *, eps: float = 0.0, delta: float = 0.0):
+    """Unblocked LLT of a (b, b) f32 symmetric block — unrolled v3 kernel.
+
+    Same contract as ``llt_block_pallas``: ``(L, count, ok)``.
+    """
+    b = block.shape[0]
+    bp = _round_up(b, 128)
+    if bp != b:
+        block = jnp.pad(block, ((0, bp - b), (0, bp - b)))
+    kernel = functools.partial(_llt_block_v3_kernel, b=bp, bvalid=b,
+                               eps=float(eps), delta=float(delta))
+    l, cnt, ok = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((bp, bp), block.dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+    )(block)
+    return jnp.tril(l[:b, :b]), cnt[0, 0], ok[0, 0] != 0
