@@ -30,7 +30,10 @@ from faer_tpu.ops.householder import (
     form_block_t,
 )
 from faer_tpu.ops.matmul import matmul
-from faer_tpu.ops.triangular_solve import solve_upper_triangular
+from faer_tpu.ops.triangular_solve import (
+    solve_unit_lower_triangular,
+    solve_upper_triangular,
+)
 
 
 def _masked_householder_col(a, taus, j, rows):
@@ -120,7 +123,126 @@ def qr_in_place(a, params: QrParams | None = None):
     return packed, ts, block
 
 
+def _lu_nopivot(a, base: int = 64):
+    """No-pivot LU of a square block: returns packed L\\U (unit-lower L).
+
+    Used only for Householder reconstruction from an orthonormal panel
+    (`_panel_qr_cholqr`), where the sign choice guarantees |diagonal| ≥ 1 and
+    no-pivot LU is provably stable (Ballard et al., "Reconstructing
+    Householder vectors from TSQR", IPDPS 2014).
+    """
+    n = a.shape[0]
+    if n <= base:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]
+
+        def body(j, a):
+            pivot = a[j, j]
+            safe = jnp.where(pivot == 0, jnp.ones_like(pivot), pivot)
+            below = rows > j
+            mult = jnp.where(below, a[:, j] / safe, a[:, j])
+            a = a.at[:, j].set(mult)
+            upd = jnp.where(below[:, None] & (cols > j)[None, :],
+                            mult[:, None] * a[j, :][None, :], 0)
+            return a - upd
+
+        return jax.lax.fori_loop(0, n, body, a)
+    from faer_tpu.ops.triangular import invert_upper_triangular
+
+    h = (n + 1) // 2
+    top = _lu_nopivot(a[:h, :h], base)
+    l11 = jnp.tril(top, -1) + jnp.eye(h, dtype=a.dtype)
+    u12 = solve_unit_lower_triangular(l11, a[:h, h:])
+    l21 = matmul(None, a[h:, :h], invert_upper_triangular(jnp.triu(top)))
+    bot = _lu_nopivot(a[h:, h:] - matmul(None, l21, u12), base)
+    out = jnp.zeros_like(a)
+    out = out.at[:h, :h].set(top).at[:h, h:].set(u12)
+    out = out.at[h:, :h].set(l21).at[h:, h:].set(bot)
+    return out
+
+
+def _panel_qr_cholqr(panel):
+    """CholeskyQR2 + Householder reconstruction for a tall f32 panel.
+
+    The classic Householder panel is a min(m,b)-step serial chain whose
+    per-step cost scales with the panel height m (the TPU's serial floor).
+    This path replaces it with MXU GEMMs + two b×b factorizations:
+
+      1. G = AᵀA; R₁ = chol(G)ᵀ; Q₁ = A R₁⁻¹       (CholeskyQR)
+      2. repeat on Q₁ → Q, R = R₂R₁                 (CholeskyQR2: O(eps) orth)
+      3. s_i = −sign(Q_ii); V·U = LU_nopivot(Q − S̃); τ = −diag(U)·s;
+         T = −U S V₁⁻ᵀ reproduces the compact-WY form exactly
+         (verified: T matches ``form_block_t(V, τ)``), so the packed
+         contract ((R′=S·R upper) + (V tails strict-lower), τ) is unchanged.
+
+    Valid iff chol(G) succeeds ≈ κ(A) ≤ eps^(−1/2); the caller must check
+    ``ok`` and fall back to the classic panel. faer parity: same factorization
+    contract as ``qr/no_pivoting/factor.rs:258`` (Q/R signs may differ — the
+    decomposition is unique only up to column signs).
+    """
+    from faer_tpu.core.params import LltRegularization
+    from faer_tpu.linalg.cholesky import _llt_panel_recursive
+    from faer_tpu.ops.triangular import invert_lower_triangular, invert_upper_triangular
+
+    m, b = panel.shape
+    reg = LltRegularization()
+    g = matmul(None, panel.T, panel)
+    l1, _, ok1 = _llt_panel_recursive(g, reg, 256)
+    q1 = matmul(None, panel, invert_lower_triangular(l1).T)
+    g2 = matmul(None, q1.T, q1)
+    l2, _, ok2 = _llt_panel_recursive(g2, reg, 256)
+    q = matmul(None, q1, invert_lower_triangular(l2).T)
+    r = matmul(None, l2.T, l1.T)                       # R = R₂ R₁ (upper)
+    # orthogonality certificate: CholQR2 is valid iff pass-1 left Q₁ with
+    # bounded departure from orthonormality
+    orth_gap = jnp.max(jnp.abs(g2 - jnp.eye(b, dtype=panel.dtype)))
+    d = jnp.diagonal(q)[:b]
+    s = jnp.where(d >= 0, -jnp.ones((b,), panel.dtype), jnp.ones((b,), panel.dtype))
+    mmat = q - jnp.zeros((m, b), panel.dtype).at[:b, :b].set(jnp.diag(s))
+    top = _lu_nopivot(mmat[:b, :b])
+    u = jnp.triu(top)
+    v1 = jnp.tril(top, -1)
+    v2 = matmul(None, mmat[b:, :b], invert_upper_triangular(u)) if m > b else None
+    taus = -jnp.diagonal(u) * s
+    rp = s[:, None] * r
+    packed_top = jnp.triu(rp) + v1
+    packed = (jnp.concatenate([packed_top, v2], axis=0) if v2 is not None
+              else packed_top)
+    ok = ok1 & ok2 & (orth_gap < 0.25) & jnp.all(jnp.isfinite(packed)) \
+        & jnp.all(jnp.isfinite(taus))
+    return packed, taus, ok
+
+
+# CholeskyQR2 panels replace the m-lane serial chain with GEMMs + two b×b
+# factorizations — but measured on v5e at (4096, 512) the b×b serial chains
+# (2×chol + trtri + no-pivot LU at 512) cost 2.5 ms against the classic
+# panel's 0.99 ms: the per-step cost of the small-matrix kernels dominates.
+# Gated off until the small-factor serial floor drops below ~0.3 ms.
+_CHOLQR_MIN_M = 1 << 30
+
+
 def _panel_qr_blocked(panel, base: int):
+    """Panel QR: CholeskyQR2 fast path (GEMM-dominated, `_panel_qr_cholqr`)
+    with a ``lax.cond`` fallback to the classic recursive Householder panel
+    for ill-conditioned panels; small/complex panels go classic directly."""
+    m, b = panel.shape
+    from faer_tpu.core import dtypes as _dt
+    from faer_tpu.core.config import panel_kernels_enabled
+
+    if (m >= _CHOLQR_MIN_M and m >= b and b >= 64
+            and not _dt.is_complex(panel.dtype)
+            and panel.dtype == jnp.dtype(jnp.float32)
+            and panel_kernels_enabled(panel.dtype)):
+        packed_f, taus_f, ok = _panel_qr_cholqr(panel)
+        return jax.lax.cond(
+            ok,
+            lambda: (packed_f, taus_f),
+            lambda: _panel_qr_blocked_classic(panel, base),
+        )
+    return _panel_qr_blocked_classic(panel, base)
+
+
+def _panel_qr_blocked_classic(panel, base: int):
     """Two-level panel QR: recursive column-halving to the fori base; the
     inter-half coupling is one compact-WY block apply (two GEMMs)."""
     m, b = panel.shape
@@ -129,17 +251,19 @@ def _panel_qr_blocked(panel, base: int):
         from faer_tpu.core.config import panel_kernels_enabled
 
         if panel_kernels_enabled(panel.dtype) and not _dt.is_complex(panel.dtype):
-            # transposed sub-blocked kernel (see ops/pallas/qr_panel_v2.py)
-            from faer_tpu.ops.pallas.qr_panel_v2 import qr_panel_v2_pallas
+            # unrolled transposed kernel (v3): straight-line sub-block steps
+            # with direct row addressing — measured ~35% faster than the
+            # fori-loop v2 at (4096, 128) and bit-identical output
+            from faer_tpu.ops.pallas.qr_panel_v3 import qr_panel_v3_pallas
 
-            return qr_panel_v2_pallas(panel)
+            return qr_panel_v3_pallas(panel)
         return _panel_qr(panel)
     h = (b + 1) // 2
-    left, taus1 = _panel_qr_blocked(panel[:, :h], base)
+    left, taus1 = _panel_qr_blocked_classic(panel[:, :h], base)
     v1 = _extract_v(left, h)
     t1 = form_block_t(v1, taus1)
     right = apply_block_on_left(v1, t1, panel[:, h:], adjoint=True)
-    bot, taus2 = _panel_qr_blocked(right[h:], base)
+    bot, taus2 = _panel_qr_blocked_classic(right[h:], base)
     out = jnp.zeros_like(panel)
     out = out.at[:, :h].set(left)
     out = out.at[:h, h:].set(right[:h])

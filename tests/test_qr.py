@@ -74,3 +74,58 @@ def test_col_piv_qr(dtype, m, n):
     x = qr.col_piv_qr_solve_lstsq(packed, taus, perm, b)
     want, *_ = np.linalg.lstsq(np.asarray(a), np.asarray(b), rcond=None)
     assert_approx_eq(x, want, scale=size_scale(m) * 128)
+
+
+class TestCholQrPanel:
+    """The CholeskyQR2 + Householder-reconstruction panel (TPU fast path) —
+    exercised directly here since the dispatch gate is TPU-only."""
+
+    def _check(self, panel, expect_ok=True):
+        from faer_tpu.ops.householder import form_block_t
+        m, b = panel.shape
+        packed, taus, ok = qr._panel_qr_cholqr(panel)
+        assert bool(ok) == expect_ok
+        if not expect_ok:
+            return
+        v = qr._extract_v(packed, b)
+        t = form_block_t(v, taus)
+        r = np.triu(np.asarray(packed))[:b]
+        # A = (I - V T V^T) [R; 0]
+        rfull = np.zeros((m, b), np.float32)
+        rfull[:b] = r
+        h_rfull = np.asarray(packed, dtype=np.float64) * 0  # placeholder shape
+        vn = np.asarray(v, np.float64)
+        tn = np.asarray(t, np.float64)
+        rec = rfull - vn @ (tn @ (vn.T @ rfull))
+        a = np.asarray(panel, np.float64)
+        assert np.abs(rec - a).max() <= 1e-4 * np.abs(a).max() * np.sqrt(m)
+        # Q orthonormality through the reflector form
+        q = np.eye(m, b) - vn @ (tn @ vn[:b].T @ np.eye(b))
+        assert np.abs(q.T @ q - np.eye(b)).max() < 1e-4 * np.sqrt(m)
+
+    def test_tall_panel(self):
+        key = jax.random.key(7)
+        self._check(stats.standard_normal_mat(key, 700, 96, jnp.float32))
+
+    def test_square_panel(self):
+        key = jax.random.key(8)
+        self._check(stats.standard_normal_mat(key, 512, 512, jnp.float32))
+
+    def test_ill_conditioned_falls_back(self):
+        # kappa ~ 1e8 >> eps^-1/2: chol(G) must fail and signal fallback
+        key = jax.random.key(9)
+        a = np.asarray(stats.standard_normal_mat(key, 600, 64, jnp.float32),
+                       np.float64)
+        u, _, vt = np.linalg.svd(a, full_matrices=False)
+        sv = np.logspace(0, -8, 64)
+        bad = jnp.asarray((u * sv) @ vt, jnp.float32)
+        self._check(bad, expect_ok=False)
+
+    def test_blocked_qr_dispatch_matches_classic(self):
+        # full qr_in_place equality is not required (signs may differ);
+        # reconstruct must agree with the input either way
+        key = jax.random.key(10)
+        a = stats.standard_normal_mat(key, 640, 640, jnp.float32)
+        packed, ts, block = qr.qr_in_place(a)
+        rec = qr.qr_reconstruct(packed, ts, block)
+        assert_approx_eq(rec, a, scale=size_scale(640) * 8, tol_dtype=jnp.float32)
