@@ -172,7 +172,8 @@ def _leaf(d, e, sqre: int):
     return u, s, w
 
 
-def _svd_merge(u1, s1, w1, u2, s2, w2, alpha, beta, sqre: int):
+def _svd_merge(u1, s1, w1, u2, s2, w2, alpha, beta, sqre: int,
+               hi: bool = False):
     """Combine the sub-SVDs across the torn middle row.
 
     The merged matrix in the permuted column order
@@ -344,17 +345,21 @@ def _svd_merge(u1, s1, w1, u2, s2, w2, alpha, beta, sqre: int):
     u_m = jnp.zeros_like(u_m).at[rowp, :].set(u_m)
     v = jnp.zeros_like(v).at[colp, :].set(v)
 
-    u_top = matmul(None, u1, u_m[:k, :])
+    # the top-level merge back-transforms pin full-f32 GEMMs: the bf16x3
+    # tile-kernel policy costs ~9e-3 orthU at n=600 on chip (round-2 weak
+    # #4); HIGHEST only at the final level keeps the Amdahl cost ~1.3x
+    prec = jax.lax.Precision.HIGHEST if hi else None
+    u_top = matmul(None, u1, u_m[:k, :], precision=prec)
     u_mid = u_m[k:k + 1, :]
-    u_bot = matmul(None, u2, u_m[k + 1:, :])
+    u_bot = matmul(None, u2, u_m[k + 1:, :], precision=prec)
     u_out = jnp.concatenate([u_top, u_mid, u_bot], axis=0)
-    w_top = matmul(None, w1, v[: k + 1, :])
-    w_bot = matmul(None, w2, v[k + 1:, :])
+    w_top = matmul(None, w1, v[: k + 1, :], precision=prec)
+    w_bot = matmul(None, w2, v[k + 1:, :], precision=prec)
     w_out = jnp.concatenate([w_top, w_bot], axis=0)
     return u_out, s_all, w_out
 
 
-def _dnc(d, e, sqre: int):
+def _dnc(d, e, sqre: int, hi: bool = False):
     """Recursive solve of the (m, m+sqre) upper bidiagonal ``B``:
     returns ``(u, s, w)`` with s descending (length m+sqre, trailing entry
     the ~0 null root when sqre=1), ``B = u @ [diag(s[:m]) | 0] @ wᵀ``."""
@@ -372,7 +377,7 @@ def _dnc(d, e, sqre: int):
     # sub-contract: s includes the wide-case trailing null root; the merge
     # wants only the m genuine singular values of each sub-block
     return _svd_merge(u1, s1[:k], w1, u2, s2[: m - k - 1], w2,
-                      alpha, beta, sqre)
+                      alpha, beta, sqre, hi=hi)
 
 
 def bidiag_svd_dnc(d, e, *, want_u: bool = True, want_v: bool = True):
@@ -386,7 +391,7 @@ def bidiag_svd_dnc(d, e, *, want_u: bool = True, want_v: bool = True):
     nrm = jnp.maximum(jnp.max(jnp.abs(d)),
                       jnp.max(jnp.abs(e)) if n > 1 else jnp.zeros((), d.dtype))
     nrm = jnp.where(nrm == 0, jnp.ones_like(nrm), nrm)
-    u, s, w = _dnc(d / nrm, e / nrm, 0)
+    u, s, w = _dnc(d / nrm, e / nrm, 0, hi=True)
     info = SpectralInfo(converged=jnp.ones((), bool),
                         iterations=jnp.zeros((), jnp.int32))
     return s * nrm, (u if want_u else None), (w if want_v else None), info

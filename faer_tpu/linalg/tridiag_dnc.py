@@ -127,7 +127,8 @@ def _secular_solve(d, z2, rho, n_iter: int = 64):
     return lam, diff
 
 
-def _merge(d1, q1, d2, q2, beta, want_vectors: bool):
+def _merge(d1, q1, d2, q2, beta, want_vectors: bool,
+           hi: bool = False):
     """Eigen of ``blkdiag(T1, T2) + β (e_k + e_{k+1})(e_k + e_{k+1})ᵀ`` given
     the sub-solutions, following the standard rank-one-tear formulation."""
     n1 = d1.shape[0]
@@ -252,14 +253,17 @@ def _merge(d1, q1, d2, q2, beta, want_vectors: bool):
     # undo the sort permutation on rows, then back-transform with blockdiag Q
     inv = jnp.argsort(order)
     u = u[inv, :].astype(out_dt)
-    qu_top = matmul(None, q1, u[:n1, :])
-    qu_bot = matmul(None, q2, u[n1:, :])
+    # top-level merge pins full-f32 back-transform GEMMs (see bidiag_dnc)
+    prec = jax.lax.Precision.HIGHEST if hi else None
+    qu_top = matmul(None, q1, u[:n1, :], precision=prec)
+    qu_bot = matmul(None, q2, u[n1:, :], precision=prec)
     v = jnp.concatenate([qu_top, qu_bot], axis=0)
     srt = jnp.argsort(w)
     return w[srt], v[:, srt]
 
 
-def tridiag_evd_dnc(d, e, *, want_vectors: bool = True):
+def tridiag_evd_dnc(d, e, *, want_vectors: bool = True,
+                    hi: bool = True):
     """D&C eigendecomposition of tridiag(d, e). Returns (w, z, info)."""
     n = d.shape[0]
     from faer_tpu.linalg.tridiag_evd import tridiag_evd
@@ -272,9 +276,10 @@ def tridiag_evd_dnc(d, e, *, want_vectors: bool = True):
     # tear: T = blkdiag(T1, T2) + β (e_k−1 + e_k)(…)ᵀ with corrected diagonals
     d1 = d[:k].at[k - 1].add(-beta)
     d2 = d[k:].at[0].add(-beta)
-    w1, q1, i1 = tridiag_evd_dnc(d1, e[: k - 1], want_vectors=True)
-    w2, q2, i2 = tridiag_evd_dnc(d2, e[k:], want_vectors=True)
-    w, v = _merge(w1, q1, w2, q2, beta, True)
+    w1, q1, i1 = tridiag_evd_dnc(d1, e[: k - 1], want_vectors=True,
+                                 hi=False)
+    w2, q2, i2 = tridiag_evd_dnc(d2, e[k:], want_vectors=True, hi=False)
+    w, v = _merge(w1, q1, w2, q2, beta, True, hi=hi)
     if not want_vectors:
         v = None
     info = SpectralInfo(converged=i1.converged & i2.converged,
