@@ -339,23 +339,48 @@ def partial_svd(a, k: int, *, v0=None, m: int | None = None,
                 tol: float | None = None, max_restarts: int = 1000):
     """Top-k singular triplets of a LinOp (faer ``partial_svd``, ``:1396``).
 
-    Runs the Hermitian Krylov-Schur on AᴴA (Golub-Kahan normal-equations
-    operator); returns ``(s, u, v, info)``.
+    Golub–Kahan–Lanczos, realized as the Hermitian Krylov–Schur on the
+    Jordan–Wielandt operator ``C = [[0, A], [Aᴴ, 0]]``: Lanczos on C from a
+    ``(0; v)`` start alternates A / Aᴴ applies and builds exactly the
+    Golub–Kahan bidiagonal projection (faer ``iterate_lanczos``,
+    ``operator/svd/mod.rs:7``; ``partial_svd_imp`` ``:117``).  Unlike the
+    normal-equations operator AᴴA this does NOT square the condition number,
+    so singular values down to ~eps·σ_max (not √eps·σ_max) survive at f32.
+    C's spectrum is ±σ with eigenvectors ``(u; ±v)/√2``, so 2k
+    largest-magnitude Ritz pairs are computed and the k best positive ones
+    returned as ``(s, u, v, info)``.
     """
     op = aslinop(a)
     mdim, ndim = op.shape
 
-    class _AtA:
-        shape = (ndim, ndim)
+    class _JordanWielandt:
+        shape = (mdim + ndim, mdim + ndim)
 
         @staticmethod
         def apply(x):
-            return op.adjoint_apply(op.apply(x))
+            return jnp.concatenate(
+                [op.apply(x[mdim:]), op.adjoint_apply(x[:mdim])], axis=0)
 
-    w, v, info = partial_self_adjoint_eigen(_AtA, k, v0=v0, m=m, tol=tol,
-                                            max_restarts=max_restarts)
-    s = jnp.sqrt(jnp.maximum(w, 0))
-    av = op.apply(v)
-    safe = jnp.where(s == 0, jnp.ones_like(s), s)
-    u = av / safe[None, :].astype(av.dtype)
+    kk = 2 * k
+    mb = m or min(max(4 * k + 8, 2 * k + 16), mdim + ndim - 1)
+    if v0 is not None:
+        z0 = jnp.concatenate([jnp.zeros((mdim,), v0.dtype), v0])
+    else:
+        z0 = None
+    w, z, info = partial_self_adjoint_eigen(_JordanWielandt, kk, v0=z0, m=mb,
+                                            tol=tol, max_restarts=max_restarts)
+    order = jnp.argsort(-w)
+    w = w[order]
+    z = z[:, order]
+    s = w[:k]
+    u = z[:mdim, :k]
+    v = z[mdim:, :k]
+    rdt = dtypes.real_dtype_of(z.dtype)
+    un = jnp.sqrt(jnp.sum(jnp.abs(u).astype(rdt) ** 2, axis=0))
+    vn = jnp.sqrt(jnp.sum(jnp.abs(v).astype(rdt) ** 2, axis=0))
+    u = u / jnp.where(un == 0, jnp.ones_like(un), un).astype(u.dtype)[None, :]
+    v = v / jnp.where(vn == 0, jnp.ones_like(vn), vn).astype(v.dtype)[None, :]
+    info = PartialEigenInfo(
+        n_converged=jnp.minimum(info.n_converged, k),
+        iterations=info.iterations)
     return s, u, v, info

@@ -109,3 +109,28 @@ def test_partial_eigen_pair_real_path(n, k):
     assert np.max(np.abs(np.sort_complex(w) - np.sort_complex(top))) < 1e-4 * np.max(
         np.abs(top))
     assert np.linalg.norm(an @ v - v * w[None, :]) < 1e-4 * np.linalg.norm(an)
+
+
+def test_partial_svd_no_condition_squaring():
+    """VERDICT r2 #8 done-criterion: the GKL (Jordan-Wielandt) path recovers
+    clustered small singular values at f32 that the old A^T A normal-equations
+    operator loses (sigma^2 below eps*sigma_max^2 is invisible after
+    squaring)."""
+    m, n, k = 90, 60, 4
+    rng = np.random.default_rng(11)
+    sv = np.zeros(n)
+    sv[:k] = [1.0, 3e-4, 2.5e-4, 2e-4]   # kappa(top-k) ~ 5e3, sigma^2 ~ 6e-8
+    sv[k:] = 1e-5
+    qu, _ = np.linalg.qr(rng.standard_normal((m, n)))
+    qv, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a = jnp.asarray((qu * sv) @ qv.T, jnp.float32)
+    s, u, v, info = mf.partial_svd(a, k, tol=1e-6, max_restarts=4000)
+    s = np.sort(np.asarray(s, np.float64))[::-1]
+    want = np.sort(sv)[::-1][:k]
+    # absolute accuracy ~ eps*sigma_max, NOT sqrt(eps)*sigma_max (~2.4e-4,
+    # the normal-equations floor that would swamp the 2e-4 cluster)
+    assert np.abs(s - want).max() < 3e-5, s
+    # triplet consistency: A v ~= s u for every returned triplet
+    res = np.abs(np.asarray(a, np.float64) @ np.asarray(v, np.float64)
+                 - np.asarray(u, np.float64) * s[None, :]).max()
+    assert res < 5e-5, res
