@@ -224,11 +224,25 @@ def _split_pair_inputs(a, b):
 
 def qz(a, b, *, max_sweeps_factor: int = 30):
     """Full generalized Schur: returns (S, T, Q, Z, info) with
-    ``A = Q S Zᴴ``, ``B = Q T Zᴴ``; α = diag(S), β = diag(T).
+    ``A = Q S Zᴴ``, ``B = Q T Zᴴ``.
 
-    On the complex-free TPU runtime the computation runs over split
+    Real pencils run the REAL double-shift QZ (``qz_real.py``, faer
+    ``qz_real/mod.rs:1508``): S is real quasi-triangular (1×1/2×2 blocks),
+    T upper triangular, and (α, β) pairs come from
+    ``qz_real.qz_eigenvalues_pair`` — no complexification tax, infinite
+    eigenvalues deflated.  Complex pencils run the single-shift complex QZ;
+    on the complex-free TPU runtime that computation runs over split
     (re, im) pairs (``qz_cpair.py``) and the outputs are combined on host.
     """
+    if not dtypes.is_complex(a.dtype):
+        from faer_tpu.linalg.qz_real import real_qz
+
+        return real_qz(a, b, max_sweeps_factor=max_sweeps_factor)
+    return _qz_complex(a, b, max_sweeps_factor=max_sweeps_factor)
+
+
+def _qz_complex(a, b, *, max_sweeps_factor: int = 30):
+    """Complex QZ (strictly triangular S): complexifies real inputs."""
     from faer_tpu.linalg.evd import _combine_pair, _complex_unsupported
 
     if _complex_unsupported():
@@ -255,7 +269,10 @@ def gevd_qz(a, b):
         return (_combine_pair(*al), _combine_pair(*be), _combine_pair(*v),
                 info)
     n = a.shape[0]
-    s_, t_, q, z, info = qz(a, b)
+    # eigenvector extraction below needs a strictly triangular S, so real
+    # pencils are complexified here (the Schur-form/eigenvalue-only APIs use
+    # the real path)
+    s_, t_, q, z, info = _qz_complex(a, b)
     alpha = jnp.diagonal(s_)
     beta = jnp.diagonal(t_)
     # eigenvectors of the triangular pair: (S − λ T) y = 0, v = Z y

@@ -148,7 +148,7 @@ def test_solver_objects_spectral():
     assert np.abs(a12 @ vn - vn * wn[None, :]).max() < 1e-10
 
 
-@pytest.mark.parametrize("dtype", [jnp.float64, jnp.complex128])
+@pytest.mark.parametrize("dtype", [jnp.complex128])
 def test_qz_generalized_schur(dtype):
     import scipy.linalg as sla
 
