@@ -20,6 +20,8 @@ multifrontal method.
 """
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 from faer_tpu.sparse.cholesky import SymbolicCholesky
@@ -68,14 +70,72 @@ def _rows_by_leftmost(ap: SparseCscMat):
     return rptr, rcols, rvals, leftmost
 
 
+@dataclasses.dataclass
+class FrontHouseholder:
+    """One front's stored Householder data (faer
+    ``SymbolicSupernodalHouseholder``, ``qr.rs:317``): enough to replay the
+    front's orthogonal transform on a right-hand side."""
+
+    packed: np.ndarray        # (rpad, c) packed V (strict lower) + R (upper)
+    t_stack: np.ndarray       # compact-WY T blocks from qr_in_place
+    block: int                # qr_in_place panel width
+    rows: np.ndarray          # original A-row ids of the leading rows
+    children: np.ndarray      # child supernode ids, assembly order
+    nr: int                   # assembled rows incl. zero-fill to c (pre-pad)
+    c: int                    # front width (pattern size)
+    w: int                    # pivot columns
+
+
+@dataclasses.dataclass
+class MultifrontalQrHouseholder:
+    """Per-front Householder storage for the whole factorization, postorder."""
+
+    ssym: SupernodalSymbolic
+    fronts: list
+    m: int                    # nrows of A
+
+
+def _assemble_rows(rs, rptr, rcols, rvals, pattern, dtype):
+    """Gather A rows ``rs`` into a dense (len(rs), c) block over ``pattern``
+    (vectorized: one scatter for all rows of the front)."""
+    c = pattern.size
+    out = np.zeros((rs.size, c), dtype=dtype)
+    if rs.size == 0:
+        return out
+    lens = rptr[rs + 1] - rptr[rs]
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    row_of = np.repeat(np.arange(rs.size, dtype=np.int64), lens)
+    first = np.cumsum(lens) - lens
+    within = np.arange(total, dtype=np.int64) - first[row_of]
+    flat = rptr[rs][row_of] + within
+    out[row_of, np.searchsorted(pattern, rcols[flat])] = rvals[flat]
+    return out
+
+
+def _rows_grouped_by_sn(leftmost, col_of_sn, ncols, nsn):
+    """rows_of_sn as arrays, original row order preserved within a group."""
+    m = leftmost.shape[0]
+    live = leftmost < ncols
+    rows = np.nonzero(live)[0]
+    sn = col_of_sn[leftmost[rows]]
+    order = np.argsort(sn, kind="stable")
+    rows, sn = rows[order], sn[order]
+    starts = np.searchsorted(sn, np.arange(nsn + 1))
+    return [rows[starts[s]:starts[s + 1]] for s in range(nsn)]
+
+
 def qr_numeric_multifrontal(a: SparseCscMat, symb: SymbolicCholesky,
-                            ssym: SupernodalSymbolic | None = None) -> SparseCscMat:
+                            ssym: SupernodalSymbolic | None = None, *,
+                            keep_householder: bool = False):
     """Householder R of ``A[:, symb.perm]`` via multifrontal QR.
 
-    Returns Rᵀ as a SparseCscMat over ``symb.l_symbolic`` (same contract as
-    the AᵀA-Cholesky stand-in, so the existing CSNE solve path upgrades in
-    place — but R now comes from orthogonal reductions of A itself, without
-    the κ² conditioning of the normal equations).
+    Returns ``(Rᵀ as a SparseCscMat over symb.l_symbolic, fronts)`` where
+    ``fronts`` is a :class:`MultifrontalQrHouseholder` when
+    ``keep_householder`` (faer stores the supernodal Householders the same
+    way, ``qr.rs:305``/``:317``) and ``None`` otherwise.  R comes from
+    orthogonal reductions of A itself — no normal-equations κ² squaring.
     """
     import jax.numpy as jnp
 
@@ -89,50 +149,94 @@ def qr_numeric_multifrontal(a: SparseCscMat, symb: SymbolicCholesky,
     ls = symb.l_symbolic
     lvals = np.zeros(ls.nnz, dtype=ap.values.dtype)
     nsn = len(ssym.sn_rows)
-    rows_of_sn = [[] for _ in range(nsn)]
-    for r in range(m):
-        if leftmost[r] < ap.ncols:
-            rows_of_sn[int(ssym.col_of_sn[leftmost[r]])].append(r)
+    rows_of_sn = _rows_grouped_by_sn(leftmost, ssym.col_of_sn, ap.ncols, nsn)
     contribs: list[list] = [[] for _ in range(nsn)]
+    fronts: list = [None] * nsn if keep_householder else []
 
     for s in range(nsn):
         j0, j1 = int(ssym.sn_start[s]), int(ssym.sn_start[s + 1])
         w = j1 - j0
         pattern = np.asarray(ssym.sn_rows[s], dtype=np.int64)  # front col ids
         c = pattern.size
-        blocks = []
-        for r in rows_of_sn[s]:
-            rr = slice(int(rptr[r]), int(rptr[r + 1]))
-            row = np.zeros(c, dtype=ap.values.dtype)
-            pos = np.searchsorted(pattern, rcols[rr])
-            row[pos] = rvals[rr]
-            blocks.append(row[None, :])
-        for ccols, cblock in contribs[s]:
+        rs = rows_of_sn[s]
+        blocks = [_assemble_rows(rs, rptr, rcols, rvals, pattern,
+                                 ap.values.dtype)]
+        children = []
+        for child, ccols, cblock in contribs[s]:
             sub = np.zeros((cblock.shape[0], c), dtype=ap.values.dtype)
-            pos = np.searchsorted(pattern, ccols)
-            sub[:, pos] = cblock
+            sub[:, np.searchsorted(pattern, ccols)] = cblock
             blocks.append(sub)
+            children.append(child)
         nr = sum(b.shape[0] for b in blocks)
-        f = (np.concatenate(blocks, axis=0) if blocks
-             else np.zeros((0, c), dtype=ap.values.dtype))
+        f = np.concatenate(blocks, axis=0)
         if nr < c:                      # QR needs >= c rows for a full R
             f = np.concatenate([f, np.zeros((c - nr, c), dtype=f.dtype)])
             nr = c
         rpad = _pad_class(nr)
         fr = np.zeros((rpad, c), dtype=f.dtype)
         fr[:nr] = f
-        packed, _, _ = qr_in_place(jnp.asarray(fr))
-        r_up = np.triu(np.asarray(packed)[:c, :c])
-        # R rows j0..j1-1: L column j's pattern is pattern[j-j0:]
+        packed, ts, block = qr_in_place(jnp.asarray(fr))
+        packed = np.asarray(packed)
+        r_up = np.triu(packed[:c, :c])
+        # R rows j0..j1-1: L column j's pattern ⊆ pattern[j-j0:] (equality
+        # for fundamental supernodes; strict subset under amalgamation)
         for j in range(j0, j1):
             rj = ls.col_range(j)
             t = j - j0
-            lvals[rj.start:rj.stop] = r_up[t, t:]
+            lvals[rj.start:rj.stop] = r_up[t][np.searchsorted(
+                pattern, ls.row_idx[rj])]
         if c > w:
             parent = int(ssym.col_of_sn[pattern[w]])
-            contribs[parent].append((pattern[w:], r_up[w:, w:]))
+            contribs[parent].append((s, pattern[w:], r_up[w:, w:]))
         contribs[s] = []                # free
-    return SparseCscMat(ls, lvals)
+        if keep_householder:
+            fronts[s] = FrontHouseholder(
+                packed=packed, t_stack=np.asarray(ts), block=block,
+                rows=rs, children=np.asarray(children, dtype=np.int64),
+                nr=nr, c=c, w=w)
+    r_csc = SparseCscMat(ls, lvals)
+    if keep_householder:
+        return r_csc, MultifrontalQrHouseholder(ssym=ssym, fronts=fronts, m=m)
+    return r_csc, None
+
+
+def qr_multifrontal_apply_qt(hh: MultifrontalQrHouseholder, b):
+    """``Qᵀ b`` restricted to the R rows: returns the (n, k) top block of
+    ``Qᵀ b`` in permuted column coordinates (rows j of R ↔ pivot j).
+
+    Replays each front's block-Householder transform on the gathered RHS
+    rows — the supernodal Q-apply faer performs in the sparse QR solve
+    (``qr.rs:305``); the carry rows w..c flow parent-ward exactly like the
+    numeric contribution blocks.
+    """
+    import jax.numpy as jnp
+
+    from faer_tpu.linalg.qr import qr_apply_q
+
+    ssym = hh.ssym
+    b = np.asarray(b)
+    squeeze = b.ndim == 1
+    b2 = b[:, None] if squeeze else b
+    k = b2.shape[1]
+    n = ssym.base.n
+    y = np.zeros((n, k), dtype=b2.dtype)
+    carry: list = [None] * len(hh.fronts)
+    for s, fr in enumerate(hh.fronts):
+        j0 = int(ssym.sn_start[s])
+        blocks = [b2[fr.rows]]
+        blocks += [carry[int(ch)] for ch in fr.children]
+        rhs = np.concatenate(blocks, axis=0)
+        rpad = fr.packed.shape[0]
+        rp = np.zeros((rpad, k), dtype=rhs.dtype)
+        rp[:rhs.shape[0]] = rhs           # zero-fill rows match the numeric pad
+        qtb = np.asarray(qr_apply_q(jnp.asarray(fr.packed),
+                                    jnp.asarray(fr.t_stack), fr.block,
+                                    jnp.asarray(rp), adjoint=True))
+        y[j0:j0 + fr.w] = qtb[:fr.w]
+        carry[s] = qtb[fr.w:fr.c]
+        for ch in fr.children:
+            carry[int(ch)] = None         # free
+    return y[:, 0] if squeeze else y
 
 
 def lu_numeric_multifrontal(a: SparseCscMat, symb: SymbolicCholesky | None = None,
