@@ -187,3 +187,53 @@ def test_gevd_qz_singular_b():
                    bn @ vn * np.asarray(alpha)[None, :]).max()
     assert resid < 1e-10 * max(np.abs(an).max(), np.abs(bn).max()) * 100
     assert int(np.sum(np.abs(np.asarray(beta)) < 1e-10)) >= 3  # infinite eigs detected
+
+
+def test_blocked_tridiag_matches_unblocked():
+    """latrd-style panelled tridiagonalization: same contract, machine-
+    precision reconstruction (tridiag.rs:274 parity)."""
+    from faer_tpu.linalg.tridiag import tridiag_apply_q, tridiag_in_place
+
+    rng = np.random.default_rng(5)
+    for n, dt in ((300, jnp.float64), (300, jnp.complex128)):
+        g = rng.standard_normal((n, n))
+        if jnp.issubdtype(dt, jnp.complexfloating):
+            g = g + 1j * rng.standard_normal((n, n))
+        a = jnp.asarray(g + np.conj(g).T, dt)
+        d, e, hh, taus = tridiag_in_place(a, block=64)
+        t = (np.diag(np.asarray(d, np.float64))
+             + np.diag(np.asarray(e, np.float64), -1)
+             + np.diag(np.asarray(e, np.float64), 1))
+        q = np.asarray(tridiag_apply_q(hh, taus, jnp.eye(n, dtype=a.dtype)),
+                       np.complex128)
+        an = np.asarray(a, np.complex128)
+        rec = np.abs(q @ t @ np.conj(q).T - an).max() / np.abs(an).max()
+        orth = np.abs(np.conj(q).T @ q - np.eye(n)).max()
+        assert rec < 64 * n * np.finfo(np.float64).eps, rec
+        assert orth < 64 * n * np.finfo(np.float64).eps, orth
+
+
+def test_blocked_bidiag_matches_unblocked():
+    """labrd-style panelled bidiagonalization (bidiag.rs:47 parity)."""
+    from faer_tpu.linalg.bidiag import (
+        bidiag_apply_ql,
+        bidiag_apply_qr_mat,
+        bidiag_in_place,
+    )
+
+    rng = np.random.default_rng(6)
+    for (m, n), dt in (((340, 300), jnp.float64), ((300, 300), jnp.complex128)):
+        g = rng.standard_normal((m, n))
+        if jnp.issubdtype(dt, jnp.complexfloating):
+            g = g + 1j * rng.standard_normal((m, n))
+        a = jnp.asarray(g, dt)
+        d, e, vl, taul, vr, taur = bidiag_in_place(a, block=64)
+        b = np.zeros((m, n))
+        b[np.arange(n), np.arange(n)] = np.asarray(d, np.float64)
+        b[np.arange(n - 1), np.arange(1, n)] = np.asarray(e, np.float64)
+        ql_b = bidiag_apply_ql(vl, taul, jnp.asarray(b, a.dtype))
+        rec = bidiag_apply_qr_mat(vr, taur, jnp.conj(ql_b).T)
+        rec = np.conj(np.asarray(rec, np.complex128)).T
+        an = np.asarray(a, np.complex128)
+        err = np.abs(rec - an).max() / np.abs(an).max()
+        assert err < 64 * n * np.finfo(np.float64).eps, err
