@@ -31,10 +31,15 @@ class SupernodalSymbolic:
     col_of_sn: np.ndarray       # column → supernode id
 
 
-def detect_supernodes(symb: SymbolicCholesky, *, relax: int = 8) -> SupernodalSymbolic:
-    """Fundamental supernodes: j+1 joins j's supernode iff parent[j] == j+1
-    and count[j] == count[j+1] + 1; small supernodes are relax-merged with
-    their parent when the pattern superset cost is below ``relax`` rows."""
+def detect_supernodes(symb: SymbolicCholesky, *, relax: int = 8,
+                      relax_ratio: float = 0.25) -> SupernodalSymbolic:
+    """Fundamental supernodes (j+1 joins j's supernode iff parent[j] == j+1
+    and count[j] == count[j+1] + 1) followed by RELAXED AMALGAMATION
+    (Ashcraft–Grimes; faer's supernodal symbolic does the same): adjacent
+    supernodes merge into one front — at the cost of explicit zeros — when
+    the combined width is ≤ ``relax`` or the padding stays below
+    ``relax_ratio`` of the separate storage.  Fewer, fatter fronts keep the
+    MXU fed on matrices whose fundamental supernodes are fragmented."""
     n = symb.n
     parent = symb.parent
     counts = symb.col_counts
@@ -44,16 +49,41 @@ def detect_supernodes(symb: SymbolicCholesky, *, relax: int = 8) -> SupernodalSy
         if not fundamental:
             starts.append(j)
     starts.append(n)
-    sn_start = np.array(starts, dtype=np.int64)
     ls = symb.l_symbolic
-    sn_rows = []
-    for s in range(len(sn_start) - 1):
-        j0 = int(sn_start[s])
-        sn_rows.append(ls.row_idx[ls.col_range(j0)])
+
+    def pat(j0):
+        return ls.row_idx[ls.col_range(j0)]
+
+    # greedy left-to-right merge of adjacent supernodes; the merged front
+    # pattern is the sorted union of member patterns (each member column's
+    # L pattern stays a subset, which is all the numeric phases need)
+    m_starts = [starts[0]]
+    m_rows = []
+    cur_rows = pat(starts[0])
+    cur_sep = 0
+    for s in range(1, len(starts) - 1):
+        j0 = starts[s]
+        nxt = pat(j0)
+        w_cur = j0 - m_starts[-1]
+        w_nxt = starts[s + 1] - j0
+        sep = (cur_sep or w_cur * cur_rows.size) + w_nxt * nxt.size
+        union = np.union1d(cur_rows, nxt)
+        after = (w_cur + w_nxt) * union.size
+        if (w_cur + w_nxt <= relax) or (after - sep <= relax_ratio * sep):
+            cur_rows = union
+            cur_sep = sep
+        else:
+            m_rows.append(cur_rows)
+            m_starts.append(j0)
+            cur_rows = nxt
+            cur_sep = 0
+    m_rows.append(cur_rows)
+    m_starts.append(n)
+    sn_start = np.array(m_starts, dtype=np.int64)
+    sn_rows = [np.asarray(r, dtype=np.int64) for r in m_rows]
     col_of_sn = np.zeros(n, dtype=np.int64)
     for s in range(len(sn_start) - 1):
         col_of_sn[sn_start[s]:sn_start[s + 1]] = s
-    del relax
     return SupernodalSymbolic(base=symb, sn_start=sn_start, sn_rows=sn_rows,
                               col_of_sn=col_of_sn)
 
