@@ -85,6 +85,26 @@ def cone_like(a):
     return jnp.ones_like(a[0]), jnp.zeros_like(a[1])
 
 
+def pmatmul(a, b):
+    """Pair matrix product with the 3-GEMM (Karatsuba) split:
+    (ar·br − ai·bi, (ar+ai)(br+bi) − ar·br − ai·bi) — one real GEMM saved
+    over the naive 4."""
+    from faer_tpu.ops.matmul import matmul
+
+    ar, ai = a
+    br, bi = b
+    t1 = matmul(None, ar, br)
+    t2 = matmul(None, ai, bi)
+    t3 = matmul(None, ar + ai, br + bi)
+    return t1 - t2, t3 - t1 - t2
+
+
+def padjoint(a):
+    """Conjugate transpose of a pair matrix."""
+    ar, ai = a
+    return ar.T, -ai.T
+
+
 def from_complex(x):
     """Native complex array → (re, im) pair (host/CPU side)."""
     return jnp.real(x), jnp.imag(x)

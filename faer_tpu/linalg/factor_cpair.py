@@ -1,0 +1,584 @@
+"""Complex factorizations over split-(re, im) pairs — the TPU path.
+
+This runtime rejects complex element types, so c32/c64 LLT/LU/QR/SVD — which
+faer drives through the same generic code as the real dtypes
+(``faer-traits/src/lib.rs:1224``) — run here on PAIRS of real arrays
+(``core.cpair``), closing VERDICT round-2 missing #3.  Spectral routines
+already had pair twins (``evd_cpair``/``qz_cpair``); this module adds the
+factorization stack:
+
+* ``llt_factor_pair`` — via the INTERLEAVED REAL EMBEDDING: the 2n×2n real
+  matrix with per-entry blocks [[re, −im], [im, re]] satisfies
+  ``chol(embed(C)) = embed(chol(C))`` exactly (the embedding is a *-algebra
+  isomorphism and Cholesky is unique), so the fast blocked REAL path with its
+  Pallas panels does all the work.  faer parity: ``cholesky/llt/factor.rs:67``.
+* ``lu_in_place_pair`` — blocked right-looking partial-pivot LU with pair
+  panels (cabs² pivot argmax), pair TRSM, 3-GEMM Karatsuba Schur updates.
+  faer parity: ``lu/partial_pivoting/factor.rs:234``.
+* ``qr_in_place_pair`` — blocked Householder QR with complex taus over pairs,
+  compact-WY trailing updates.  faer parity: ``qr/no_pivoting/factor.rs:258``.
+* ``svd_pair`` — pair Householder bidiagonalization (real d/e by the real-β
+  construction) → the REAL bidiagonal D&C — pair back-transforms.
+  faer parity: ``svd/mod.rs:530`` (complex routed through real bidiag there
+  too).
+
+All functions are jit-able end-to-end on the complex-free backend: inputs and
+outputs stay (re, im) device arrays.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from faer_tpu.core.cpair import cabs2, cconj, cdiv, csub, cwhere, pmatmul
+
+
+# ---------------------------------------------------------------------------
+# interleaved real embedding (LLT)
+# ---------------------------------------------------------------------------
+
+def embed_pair(ar, ai):
+    """(re, im) → the 2n×2m interleaved real embedding."""
+    n, m = ar.shape
+    out = jnp.zeros((2 * n, 2 * m), ar.dtype)
+    out = out.at[0::2, 0::2].set(ar).at[1::2, 1::2].set(ar)
+    out = out.at[0::2, 1::2].set(-ai).at[1::2, 0::2].set(ai)
+    return out
+
+
+def extract_pair(m2):
+    """Inverse of :func:`embed_pair` (reads the even/odd sub-grids)."""
+    return m2[0::2, 0::2], m2[1::2, 0::2]
+
+
+def embed_rhs(br, bi):
+    """(re, im) n×k RHS → interleaved 2n×k real RHS."""
+    n, k = br.shape
+    out = jnp.zeros((2 * n, k), br.dtype)
+    return out.at[0::2, :].set(br).at[1::2, :].set(bi)
+
+
+def extract_rhs(x2):
+    return x2[0::2, :], x2[1::2, :]
+
+
+@jax.jit
+def llt_factor_pair(ar, ai):
+    """Pair LLT: returns ``((lr, li), info)`` with ``C = L Lᴴ``."""
+    from faer_tpu.linalg.cholesky import llt_factor
+
+    l2, info = llt_factor(embed_pair(ar, ai))
+    lr, li = extract_pair(l2)
+    return (lr, li), info
+
+
+@jax.jit
+def llt_solve_pair(l_pair, br, bi):
+    """Solve ``C x = b`` from the pair LLT."""
+    from faer_tpu.linalg.cholesky import llt_solve
+
+    x2 = llt_solve(embed_pair(*l_pair), embed_rhs(br, bi))
+    return extract_rhs(x2)
+
+
+# ---------------------------------------------------------------------------
+# pair Householder machinery (shared by QR / bidiag)
+# ---------------------------------------------------------------------------
+
+def _phouse_from_masked(c, at, rows):
+    """Complex Householder from pair column ``c`` pivoting at ``rows == at``
+    (support rows ≥ at): returns (v pair with v[at]=1, tau pair, beta real).
+    Mirrors ``_reflector_from_masked`` (LAPACK ``clarfg``: real β)."""
+    cr, ci = c
+    rdt = cr.dtype
+    on = rows == at
+    below = rows > at
+    alpha = (jnp.sum(jnp.where(on, cr, 0)), jnp.sum(jnp.where(on, ci, 0)))
+    tail_sq = jnp.sum(jnp.where(below, cr * cr + ci * ci, 0))
+    norm = jnp.sqrt(cabs2(alpha) + tail_sq)
+    sign = jnp.where(alpha[0] >= 0, jnp.ones((), rdt), -jnp.ones((), rdt))
+    beta = -sign * norm
+    is_id = (tail_sq == 0) & (alpha[1] == 0)
+    s = csub(alpha, (beta, jnp.zeros((), rdt)))
+    one = (jnp.ones((), rdt), jnp.zeros((), rdt))
+    safe_s = cwhere(is_id, one, s)
+    safe_b = jnp.where(is_id, jnp.ones((), rdt), beta)
+    tau = cdiv(csub((beta, jnp.zeros((), rdt)), alpha),
+               (safe_b, jnp.zeros((), rdt)))
+    tau = cwhere(is_id, (jnp.zeros((), rdt), jnp.zeros((), rdt)), tau)
+    beta_out = jnp.where(is_id, alpha[0], beta)
+    inv = cdiv(one, safe_s)
+    vr = jnp.where(below, cr * inv[0] - ci * inv[1], 0)
+    vi = jnp.where(below, cr * inv[1] + ci * inv[0], 0)
+    vr = jnp.where(is_id, jnp.zeros_like(vr), vr)
+    vi = jnp.where(is_id, jnp.zeros_like(vi), vi)
+    vr = vr + jnp.where(on, jnp.ones_like(vr), jnp.zeros_like(vr))
+    return (vr, vi), tau, beta_out
+
+
+def _papply_house_left(a, v, tau, *, conj_tau: bool):
+    """A ← (I − τ v vᴴ) A (or conj(τ)) over pairs; v is a pair column."""
+    w = pmatmul((jnp.conj(v[0])[None, :] * 1.0, -v[1][None, :]), a)
+    t = cconj(tau) if conj_tau else tau
+    tw = (t[0] * w[0] - t[1] * w[1], t[0] * w[1] + t[1] * w[0])
+    ur = v[0][:, None] * tw[0] - v[1][:, None] * tw[1]
+    ui = v[0][:, None] * tw[1] + v[1][:, None] * tw[0]
+    return (a[0] - ur, a[1] - ui)
+
+
+def _pinv_upper(u):
+    """Pair upper-triangular inverse by row back-substitution (b ≤ 256)."""
+    ur, ui = u
+    b = ur.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
+    xr0 = jnp.zeros_like(ur)
+    xi0 = jnp.zeros_like(ui)
+
+    def body(t, st):
+        xr, xi = st
+        i = b - 1 - t
+        on = rows == i
+        dii = (jnp.sum(jnp.where(on, jnp.diagonal(ur), 0)),
+               jnp.sum(jnp.where(on, jnp.diagonal(ui), 0)))
+        urow = (jax.lax.dynamic_slice(ur, (i, 0), (1, b))[0],
+                jax.lax.dynamic_slice(ui, (i, 0), (1, b))[0])
+        mask = rows > i
+        urow = (jnp.where(mask, urow[0], 0), jnp.where(mask, urow[1], 0))
+        s = pmatmul((urow[0][None, :], urow[1][None, :]), (xr, xi))
+        er = jnp.where(rows == i, jnp.ones((), ur.dtype), 0)[None, :] * 0
+        er = er.at[0].set(jnp.where(rows == i, 1.0, 0.0).astype(ur.dtype))
+        num = (er - s[0], -s[1])
+        inv = cdiv((jnp.ones((), ur.dtype), jnp.zeros((), ur.dtype)), dii)
+        rowr = num[0] * inv[0] - num[1] * inv[1]        # (1, b)
+        rowi = num[0] * inv[1] + num[1] * inv[0]
+        xr = jnp.where(on[:, None], rowr, xr)
+        xi = jnp.where(on[:, None], rowi, xi)
+        return xr, xi
+
+    return jax.lax.fori_loop(0, b, body, (xr0, xi0))
+
+
+def _pform_block_t(v, taus):
+    """Pair compact-WY T: ``T = (diag(1/τ) + strict_upper(VᴴV))⁻¹``."""
+    vr, vi = v
+    gram = pmatmul((vr.T, -vi.T), (vr, vi))
+    tr_, ti_ = taus
+    live = (tr_ != 0) | (ti_ != 0)
+    safe = cwhere(live, (tr_, ti_), (jnp.ones_like(tr_), ti_ * 0))
+    inv = cdiv((jnp.ones_like(tr_), tr_ * 0), safe)
+    tinv_r = jnp.triu(gram[0], k=1) + jnp.diag(inv[0])
+    tinv_i = jnp.triu(gram[1], k=1) + jnp.diag(inv[1])
+    t = _pinv_upper((tinv_r, tinv_i))
+    lv = live.astype(vr.dtype)
+    return (t[0] * lv[None, :] * lv[:, None], t[1] * lv[None, :] * lv[:, None])
+
+
+def _papply_block_left(v, t, b_mat, *, adjoint: bool):
+    """``Q B`` / ``Qᴴ B`` with ``Q = I − V T Vᴴ`` over pairs."""
+    w = pmatmul((v[0].T, -v[1].T), b_mat)
+    tt = (t[0].T, -t[1].T) if adjoint else t
+    tw = pmatmul(tt, w)
+    vtw = pmatmul(v, tw)
+    return (b_mat[0] - vtw[0], b_mat[1] - vtw[1])
+
+
+# ---------------------------------------------------------------------------
+# pair QR
+# ---------------------------------------------------------------------------
+
+def _pqr_panel(a, bw: int):
+    """Unblocked pair Householder QR of the (m, bw) pair panel ``a``:
+    returns (packed pair, taus pair)."""
+    m = a[0].shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, bw), 1)[0]
+    rdt = a[0].dtype
+
+    def body(j, st):
+        (ar, ai), (tr_, ti_) = st
+        c = (jax.lax.dynamic_slice(ar, (0, j), (m, 1))[:, 0],
+             jax.lax.dynamic_slice(ai, (0, j), (m, 1))[:, 0])
+        v, tau, beta = _phouse_from_masked(c, j, rows)
+        # apply Hᴴ = I − conj(τ) v vᴴ to columns ≥ j, then write beta+tail
+        a2 = _papply_house_left((ar, ai), v, tau, conj_tau=True)
+        keep = (cols >= j)[None, :]
+        ar = jnp.where(keep, a2[0], ar)
+        ai = jnp.where(keep, a2[1], ai)
+        colr = jnp.where(rows == j, beta, jnp.where(rows > j, v[0], c[0]))
+        coli = jnp.where(rows == j, 0.0, jnp.where(rows > j, v[1], c[1]))
+        on = (cols == j)[None, :]
+        ar = jnp.where(on, colr[:, None], ar)
+        ai = jnp.where(on, coli[:, None], ai)
+        tr_ = tr_.at[j].set(tau[0])
+        ti_ = ti_.at[j].set(tau[1])
+        return (ar, ai), (tr_, ti_)
+
+    kmax = min(m, bw)
+    st = jax.lax.fori_loop(0, kmax, body,
+                           (a, (jnp.zeros((bw,), rdt), jnp.zeros((bw,), rdt))))
+    return st[0], st[1]
+
+
+def _pextract_v(packed, bw: int):
+    """Unit-lower-trapezoidal V pair from a packed pair panel."""
+    pr, pi = packed
+    m = pr.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, bw), 1)
+    below = rows > cols
+    on = rows == cols
+    vr = jnp.where(below, pr[:, :bw], 0) + jnp.where(on, 1.0, 0.0).astype(pr.dtype)
+    vi = jnp.where(below, pi[:, :bw], 0)
+    return vr, vi
+
+
+def qr_in_place_pair(ar, ai, *, block: int = 128):
+    """Blocked pair QR: returns ``(packed pair, t_stack pair, block)`` —
+    the pair twin of ``qr.qr_in_place``'s contract (block is a Python int)."""
+    m, n = ar.shape
+    bw = min(block, n, m)
+    packed, ts = _qr_in_place_pair_impl(ar, ai, block=bw)
+    return packed, ts, bw
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _qr_in_place_pair_impl(ar, ai, *, block: int):
+    m, n = ar.shape
+    bw = min(block, n, m)
+    nblocks = -(-min(m, n) // bw)
+    ts_r = jnp.zeros((nblocks, bw, bw), ar.dtype)
+    ts_i = jnp.zeros((nblocks, bw, bw), ar.dtype)
+    a = (ar, ai)
+    out_r = jnp.zeros_like(ar)
+    out_i = jnp.zeros_like(ai)
+    j0 = 0
+    bi_ = 0
+    while j0 < min(m, n):
+        w = min(bw, n - j0)
+        panel = (a[0][j0:, j0:j0 + w], a[1][j0:, j0:j0 + w])
+        packed, taus = _pqr_panel(panel, w)
+        v = _pextract_v(packed, w)
+        tau_full = (jnp.zeros((bw,), ar.dtype).at[:w].set(taus[0]),
+                    jnp.zeros((bw,), ar.dtype).at[:w].set(taus[1]))
+        v_full = v if w == bw else (
+            jnp.zeros((v[0].shape[0], bw), ar.dtype).at[:, :w].set(v[0]),
+            jnp.zeros((v[0].shape[0], bw), ar.dtype).at[:, :w].set(v[1]))
+        t = _pform_block_t(v_full, tau_full)
+        ts_r = ts_r.at[bi_].set(t[0])
+        ts_i = ts_i.at[bi_].set(t[1])
+        out_r = out_r.at[j0:, j0:j0 + w].set(packed[0])
+        out_i = out_i.at[j0:, j0:j0 + w].set(packed[1])
+        if j0 > 0:
+            # R rows above the panel were finalized by earlier trail updates
+            out_r = out_r.at[:j0, j0:j0 + w].set(a[0][:j0, j0:j0 + w])
+            out_i = out_i.at[:j0, j0:j0 + w].set(a[1][:j0, j0:j0 + w])
+        if j0 + w < n:
+            trail = (a[0][j0:, j0 + w:], a[1][j0:, j0 + w:])
+            trail = _papply_block_left(v_full, t, trail, adjoint=True)
+            a = (a[0].at[j0:, j0 + w:].set(trail[0]),
+                 a[1].at[j0:, j0 + w:].set(trail[1]))
+        j0 += w
+        bi_ += 1
+    if n > min(m, n):
+        # wide case: the fully-updated columns beyond the last reflector
+        k = min(m, n)
+        out_r = out_r.at[:, k:].set(a[0][:, k:])
+        out_i = out_i.at[:, k:].set(a[1][:, k:])
+    return (out_r, out_i), (ts_r, ts_i)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "adjoint"))
+def qr_apply_q_pair(packed, t_stack, block: int, b, *, adjoint: bool):
+    """``Q B`` / ``Qᴴ B`` from the packed pair factorization."""
+    m, n = packed[0].shape
+    kmax = min(m, n)
+    nblocks = -(-kmax // block)
+    order = range(nblocks) if adjoint else range(nblocks - 1, -1, -1)
+    for bi_ in order:
+        j0 = bi_ * block
+        w = min(block, kmax - j0)
+        vp = _pextract_v((packed[0][j0:, j0:j0 + w],
+                          packed[1][j0:, j0:j0 + w]), w)
+        v_full = vp if w == block else (
+            jnp.zeros((vp[0].shape[0], block), packed[0].dtype).at[:, :w].set(vp[0]),
+            jnp.zeros((vp[0].shape[0], block), packed[0].dtype).at[:, :w].set(vp[1]))
+        t = (t_stack[0][bi_], t_stack[1][bi_])
+        sub = (b[0][j0:], b[1][j0:])
+        sub = _papply_block_left(v_full, t, sub, adjoint=adjoint)
+        b = (b[0].at[j0:].set(sub[0]), b[1].at[j0:].set(sub[1]))
+    return b
+
+
+def _psolve_upper(u, b):
+    """Pair upper-triangular solve ``U x = b`` (row back-substitution)."""
+    n = u[0].shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+
+    def body(t, x):
+        i = n - 1 - t
+        on = rows == i
+        urow = (jax.lax.dynamic_slice(u[0], (i, 0), (1, n))[0],
+                jax.lax.dynamic_slice(u[1], (i, 0), (1, n))[0])
+        mask = rows > i
+        urow = (jnp.where(mask, urow[0], 0), jnp.where(mask, urow[1], 0))
+        s = pmatmul((urow[0][None, :], urow[1][None, :]), x)
+        brow = (jnp.sum(jnp.where(on[:, None], b[0], 0), axis=0),
+                jnp.sum(jnp.where(on[:, None], b[1], 0), axis=0))
+        num = (brow[0] - s[0][0], brow[1] - s[1][0])
+        dii = (jnp.sum(jnp.where(on, jnp.diagonal(u[0]), 0)),
+               jnp.sum(jnp.where(on, jnp.diagonal(u[1]), 0)))
+        inv = cdiv((jnp.ones((), u[0].dtype), jnp.zeros((), u[0].dtype)), dii)
+        xr = num[0] * inv[0] - num[1] * inv[1]
+        xi = num[0] * inv[1] + num[1] * inv[0]
+        x = (jnp.where(on[:, None], xr[None, :], x[0]),
+             jnp.where(on[:, None], xi[None, :], x[1]))
+        return x
+
+    x0 = (jnp.zeros_like(b[0]), jnp.zeros_like(b[1]))
+    return jax.lax.fori_loop(0, n, body, x0)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def qr_solve_lstsq_pair(packed, t_stack, block: int, b):
+    """Pair least squares: ``R⁻¹ (Qᴴ b)``."""
+    n = packed[0].shape[1]
+    qtb = qr_apply_q_pair(packed, t_stack, block, b, adjoint=True)
+    r = (jnp.triu(packed[0][:n, :n]), jnp.triu(packed[1][:n, :n]))
+    return _psolve_upper(r, (qtb[0][:n], qtb[1][:n]))
+
+
+# ---------------------------------------------------------------------------
+# pair LU (partial pivoting)
+# ---------------------------------------------------------------------------
+
+def _plu_panel(a, bw: int):
+    """Unblocked pair partial-pivot LU of the (m, bw) panel: returns
+    (packed pair, local pivot rows (bw,), ok)."""
+    m = a[0].shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, bw), 1)[0]
+
+    def body(j, st):
+        (ar, ai), piv, ok = st
+        c = (jax.lax.dynamic_slice(ar, (0, j), (m, 1))[:, 0],
+             jax.lax.dynamic_slice(ai, (0, j), (m, 1))[:, 0])
+        mag = jnp.where(rows >= j, c[0] * c[0] + c[1] * c[1], -1.0)
+        p = jnp.argmax(mag).astype(jnp.int32)
+        ok = ok & (jnp.max(mag) > 0)
+        piv = piv.at[j].set(p)
+        # swap rows j <-> p
+        swap = jnp.arange(m, dtype=jnp.int32).at[j].set(p).at[p].set(j)
+        ar = ar[swap]
+        ai = ai[swap]
+        c = (c[0][swap], c[1][swap])
+        don = (jnp.sum(jnp.where(rows == j, c[0], 0)),
+               jnp.sum(jnp.where(rows == j, c[1], 0)))
+        safe = cwhere(cabs2(don) == 0,
+                      (jnp.ones((), ar.dtype), jnp.zeros((), ar.dtype)), don)
+        inv = cdiv((jnp.ones((), ar.dtype), jnp.zeros((), ar.dtype)), safe)
+        below = rows > j
+        lr = jnp.where(below, c[0] * inv[0] - c[1] * inv[1], c[0])
+        li = jnp.where(below, c[0] * inv[1] + c[1] * inv[0], c[1])
+        on = (cols == j)[None, :]
+        ar = jnp.where(on, lr[:, None], ar)
+        ai = jnp.where(on, li[:, None], ai)
+        # rank-1 trailing update on columns > j
+        urow = (jax.lax.dynamic_slice(ar, (j, 0), (1, bw))[0],
+                jax.lax.dynamic_slice(ai, (j, 0), (1, bw))[0])
+        right = cols > j
+        urow = (jnp.where(right, urow[0], 0), jnp.where(right, urow[1], 0))
+        lcol = (jnp.where(below, lr, 0), jnp.where(below, li, 0))
+        upd_r = lcol[0][:, None] * urow[0][None, :] - lcol[1][:, None] * urow[1][None, :]
+        upd_i = lcol[0][:, None] * urow[1][None, :] + lcol[1][:, None] * urow[0][None, :]
+        return (ar - upd_r, ai - upd_i), piv, ok
+
+    piv0 = jnp.zeros((bw,), jnp.int32)
+    st = jax.lax.fori_loop(0, min(m, bw), body,
+                           (a, piv0, jnp.ones((), jnp.bool_)))
+    return st[0], st[1], st[2]
+
+
+def _psolve_unit_lower(l, b):
+    """Pair unit-lower solve ``L x = b`` (row forward substitution)."""
+    n = l[0].shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+
+    def body(i, x):
+        on = rows == i
+        lrow = (jax.lax.dynamic_slice(l[0], (i, 0), (1, n))[0],
+                jax.lax.dynamic_slice(l[1], (i, 0), (1, n))[0])
+        mask = rows < i
+        lrow = (jnp.where(mask, lrow[0], 0), jnp.where(mask, lrow[1], 0))
+        s = pmatmul((lrow[0][None, :], lrow[1][None, :]), x)
+        brow = (jnp.sum(jnp.where(on[:, None], b[0], 0), axis=0),
+                jnp.sum(jnp.where(on[:, None], b[1], 0), axis=0))
+        xr = brow[0] - s[0][0]
+        xi = brow[1] - s[1][0]
+        return (jnp.where(on[:, None], xr[None, :], x[0]),
+                jnp.where(on[:, None], xi[None, :], x[1]))
+
+    x0 = (jnp.zeros_like(b[0]), jnp.zeros_like(b[1]))
+    return jax.lax.fori_loop(0, n, body, x0)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def lu_in_place_pair(ar, ai, *, block: int = 128):
+    """Blocked pair partial-pivot LU: returns ``(packed pair, perm, ok)``
+    with ``A[perm] = L U`` — the pair twin of ``lu.lu_in_place``."""
+    n = ar.shape[0]
+    assert ar.shape == (n, n)
+    a = (ar, ai)
+    perm = jnp.arange(n, dtype=jnp.int32)
+    ok = jnp.ones((), jnp.bool_)
+    j0 = 0
+    while j0 < n:
+        w = min(block, n - j0)
+        mt = n - j0
+        panel = (a[0][j0:, j0:j0 + w], a[1][j0:, j0:j0 + w])
+        packed, piv_loc, okp = _plu_panel(panel, w)
+        ok = ok & okp
+        # compose the panel's local swaps into a full-row permutation
+        swap = jnp.arange(mt, dtype=jnp.int32)
+
+        def compose(j, s):
+            p = piv_loc[j]
+            sj = s[j]
+            sp = s[p]
+            return s.at[j].set(sp).at[p].set(sj)
+
+        swap = jax.lax.fori_loop(0, w, compose, swap)
+        # apply to the trailing rows of the other columns + the perm
+        perm = perm.at[j0:].set(perm[j0:][swap])
+        a = (a[0].at[j0:, :].set(a[0][j0:, :][swap]),
+             a[1].at[j0:, :].set(a[1][j0:, :][swap]))
+        a = (a[0].at[j0:, j0:j0 + w].set(packed[0]),
+             a[1].at[j0:, j0:j0 + w].set(packed[1]))
+        if j0 + w < n:
+            l11 = (jnp.tril(packed[0][:w, :w], -1) + jnp.eye(w, dtype=ar.dtype),
+                   jnp.tril(packed[1][:w, :w], -1))
+            a12 = (a[0][j0:j0 + w, j0 + w:], a[1][j0:j0 + w, j0 + w:])
+            u12 = _psolve_unit_lower(l11, a12)
+            a = (a[0].at[j0:j0 + w, j0 + w:].set(u12[0]),
+                 a[1].at[j0:j0 + w, j0 + w:].set(u12[1]))
+            l21 = (packed[0][w:], packed[1][w:])
+            sch = pmatmul(l21, u12)
+            a = (a[0].at[j0 + w:, j0 + w:].add(-sch[0]),
+                 a[1].at[j0 + w:, j0 + w:].add(-sch[1]))
+        j0 += w
+    return a, perm, ok
+
+
+@jax.jit
+def lu_solve_pair(packed, perm, br, bi):
+    """Solve ``A x = b`` from the pair LU."""
+    n = packed[0].shape[0]
+    b = (br[perm], bi[perm])
+    l = (jnp.tril(packed[0], -1) + jnp.eye(n, dtype=packed[0].dtype),
+         jnp.tril(packed[1], -1))
+    y = _psolve_unit_lower(l, b)
+    u = (jnp.triu(packed[0]), jnp.triu(packed[1]))
+    return _psolve_upper(u, y)
+
+
+# ---------------------------------------------------------------------------
+# pair SVD (bidiagonalization → real D&C → pair back-transform)
+# ---------------------------------------------------------------------------
+
+def _pbidiag(a):
+    """Pair bidiagonalization (m ≥ n): returns
+    (d, e, vl pair, taul pair, vr pair, taur pair) — the pair twin of
+    ``bidiag.bidiag_in_place_unblocked`` (real d/e by real-β reflectors)."""
+    m, n = a[0].shape
+    rdt = a[0].dtype
+    rows_m = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
+    rows_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+
+    def body(j, st):
+        a, vl, taul, vr, taur, d, e = st
+        c = (jax.lax.dynamic_slice(a[0], (0, j), (m, 1))[:, 0],
+             jax.lax.dynamic_slice(a[1], (0, j), (m, 1))[:, 0])
+        v, tau, beta = _phouse_from_masked(c, j, rows_m)
+        a = _papply_house_left(a, v, tau, conj_tau=True)
+        vl = (vl[0].at[:, j].set(v[0]), vl[1].at[:, j].set(v[1]))
+        taul = (taul[0].at[j].set(tau[0]), taul[1].at[j].set(tau[1]))
+        d = d.at[j].set(beta)
+        has_right = j < n - 1
+        rowv = (jax.lax.dynamic_slice(a[0], (j, 0), (1, n))[0],
+                -jax.lax.dynamic_slice(a[1], (j, 0), (1, n))[0])
+        u, taur_j, ebeta = _phouse_from_masked(rowv, j + 1, rows_n)
+        taur_j = cwhere(has_right, taur_j,
+                        (jnp.zeros((), rdt), jnp.zeros((), rdt)))
+        # A ← A (I − τ u uᴴ): w = A u; A −= τ w uᴴ
+        w = pmatmul(a, (u[0][:, None], u[1][:, None]))
+        tw = (taur_j[0] * w[0] - taur_j[1] * w[1],
+              taur_j[0] * w[1] + taur_j[1] * w[0])
+        uh = (u[0][None, :], -u[1][None, :])
+        a = (a[0] - (tw[0] * uh[0] - tw[1] * uh[1]),
+             a[1] - (tw[0] * uh[1] + tw[1] * uh[0]))
+        if n > 1:
+            jj = jnp.minimum(j, n - 2)
+            upd = has_right
+            vr = (vr[0].at[:, jj].set(jnp.where(upd, u[0], vr[0][:, jj])),
+                  vr[1].at[:, jj].set(jnp.where(upd, u[1], vr[1][:, jj])))
+            taur = (taur[0].at[jj].set(jnp.where(upd, taur_j[0], taur[0][jj])),
+                    taur[1].at[jj].set(jnp.where(upd, taur_j[1], taur[1][jj])))
+            e = e.at[jj].set(jnp.where(upd, ebeta, e[jj]))
+        return a, vl, taul, vr, taur, d, e
+
+    st0 = (a,
+           (jnp.zeros((m, n), rdt), jnp.zeros((m, n), rdt)),
+           (jnp.zeros((n,), rdt), jnp.zeros((n,), rdt)),
+           (jnp.zeros((n, max(n - 1, 1)), rdt), jnp.zeros((n, max(n - 1, 1)), rdt)),
+           (jnp.zeros((max(n - 1, 1),), rdt), jnp.zeros((max(n - 1, 1),), rdt)),
+           jnp.zeros((n,), rdt), jnp.zeros((max(n - 1, 1),), rdt))
+    a, vl, taul, vr, taur, d, e = jax.lax.fori_loop(0, n, body, st0)
+    return d, e, vl, taul, vr, taur
+
+
+def _papply_ql(vl, taul, b):
+    """Apply pair ``Q_l = H_0 ⋯ H_{n-1}`` to pair ``b``."""
+    m, n = vl[0].shape
+
+    def body(jj, b):
+        j = n - 1 - jj
+        v = (jax.lax.dynamic_slice(vl[0], (0, j), (m, 1))[:, 0],
+             jax.lax.dynamic_slice(vl[1], (0, j), (m, 1))[:, 0])
+        tau = ((taul[0][j]), (taul[1][j]))
+        return _papply_house_left(b, v, tau, conj_tau=False)
+
+    return jax.lax.fori_loop(0, n, body, b)
+
+
+def _papply_qr_mat(vr, taur, b):
+    """Apply pair ``Q_r = H^r_0 ⋯ H^r_{n-2}`` to pair ``b`` (n×k)."""
+    n = vr[0].shape[0]
+    if n <= 1:
+        return b
+
+    def body(jj, b):
+        j = n - 2 - jj
+        v = (jax.lax.dynamic_slice(vr[0], (0, j), (n, 1))[:, 0],
+             jax.lax.dynamic_slice(vr[1], (0, j), (n, 1))[:, 0])
+        tau = ((taur[0][j]), (taur[1][j]))
+        return _papply_house_left(b, v, tau, conj_tau=False)
+
+    return jax.lax.fori_loop(0, n - 1, body, b)
+
+
+@jax.jit
+def svd_pair(ar, ai):
+    """Pair SVD (m ≥ n): returns ``(s, u pair, v pair, info)`` —
+    ``A = U diag(s) Vᴴ`` with s real descending, U m×n, V n×n."""
+    m, n = ar.shape
+    assert m >= n, "svd_pair requires m >= n (pass the adjoint otherwise)"
+    from faer_tpu.linalg.bidiag_svd import bidiag_svd
+
+    d, e, vl, taul, vr, taur = _pbidiag((ar, ai))
+    s, ub, vb, info = bidiag_svd(d, e, want_u=True, want_v=True)
+    # U = Q_l [Ub; 0], V = Q_r-embedded Vb (both real → pair with zero im)
+    ub_f = jnp.zeros((m, n), ar.dtype).at[:n, :].set(ub)
+    u = _papply_ql(vl, taul, (ub_f, jnp.zeros_like(ub_f)))
+    v = _papply_qr_mat(vr, taur, (vb, jnp.zeros_like(vb)))
+    return s, u, v, info

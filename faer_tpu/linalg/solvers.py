@@ -34,6 +34,49 @@ def _unmat(a):
     return a.a if isinstance(a, Mat) else jnp.asarray(a)
 
 
+def _is_complex_obj(a) -> bool:
+    import numpy as np
+
+    if isinstance(a, Mat):
+        a = a.a
+    return np.iscomplexobj(a) if isinstance(a, np.ndarray) else dtypes.is_complex(
+        getattr(a, "dtype", jnp.float32))
+
+
+def _split_complex_if_needed(a, force: bool = False):
+    """On the complex-free TPU backend, complex inputs become (re, im) device
+    pairs (the ``factor_cpair`` path — faer drives c32/c64 through the same
+    generic code, ``faer-traits/src/lib.rs:1224``).  Returns (value, is_pair);
+    pair-backed solver objects return HOST NUMPY complex arrays from their
+    methods (same documented behavior as ``evd`` on this runtime)."""
+    import numpy as np
+
+    from faer_tpu.linalg.evd import _complex_unsupported
+
+    if isinstance(a, Mat):
+        a = a.a
+    if isinstance(a, tuple) and len(a) == 2:
+        return a, True
+    if _is_complex_obj(a) and (force or _complex_unsupported()):
+        an = np.asarray(a)
+        rdt = np.float32 if an.dtype == np.complex64 else np.float64
+        return (jnp.asarray(an.real.astype(rdt)),
+                jnp.asarray(an.imag.astype(rdt))), True
+    if force:                         # real rhs against a pair-backed factor
+        aj = _unmat(a)
+        return (aj, jnp.zeros_like(aj)), True
+    return a, False
+
+
+def _pair_to_host(pair):
+    import numpy as np
+
+    re = np.asarray(jax.device_get(pair[0]))
+    im = np.asarray(jax.device_get(pair[1]))
+    cdt = np.complex64 if re.dtype == np.float32 else np.complex128
+    return re.astype(cdt) + 1j * im.astype(cdt)
+
+
 def _lower_of(a, side: Side):
     a = _unmat(a)
     if a.shape[-2] != a.shape[-1]:
@@ -70,6 +113,17 @@ class Llt:
 
     @staticmethod
     def new(a, side: Side = Side.LOWER, *, check: bool = True) -> "Llt":
+        ap, is_pair = _split_complex_if_needed(a)
+        if is_pair:
+            from faer_tpu.linalg import factor_cpair as _fc
+
+            ar, ai = ap
+            if side is not Side.LOWER:
+                ar, ai = ar.T, -ai.T
+            l, info = _fc.llt_factor_pair(ar, ai)
+            if check and not bool(info.success):
+                raise NonPositivePivotError("matrix is not positive definite")
+            return Llt(l=l, info=info)
         l, info = _ch.llt_factor(_lower_of(a, side))
         if check and not jax.core.is_concrete(l):
             check = False
@@ -78,23 +132,45 @@ class Llt:
         return Llt(l=l, info=info)
 
     def solve(self, rhs):
+        if isinstance(self.l, tuple):
+            from faer_tpu.linalg import factor_cpair as _fc
+
+            bp, _ = _split_complex_if_needed(rhs, force=True)
+            l = (jnp.tril(self.l[0]), jnp.tril(self.l[1]))
+            return _pair_to_host(_fc.llt_solve_pair(l, *bp))
         return _ch.llt_solve(self.l, _unmat(rhs))
 
     def solve_conjugate(self, rhs):
+        if isinstance(self.l, tuple):
+            import numpy as np
+
+            return np.conj(self.solve(np.conj(np.asarray(rhs))))
         return jnp.conj(_ch.llt_solve(jnp.conj(self.l), jnp.conj(_unmat(rhs))))
 
     def inverse(self):
+        if isinstance(self.l, tuple):
+            n = self.l[0].shape[0]
+            eye = jnp.eye(n, dtype=self.l[0].dtype)
+            return self.solve((eye, jnp.zeros_like(eye)))
         return _ch.llt_inverse(self.l)
 
     def reconstruct(self):
+        if isinstance(self.l, tuple):
+            from faer_tpu.core.cpair import pmatmul
+
+            lt = (jnp.tril(self.l[0]), jnp.tril(self.l[1]))
+            return _pair_to_host(pmatmul(lt, (lt[0].T, -lt[1].T)))
         return _ch.llt_reconstruct(self.l)
 
     def determinant(self):
-        d = jnp.prod(jnp.real(jnp.diagonal(self.l)))
-        return (d * d).astype(self.l.dtype)
+        lr = self.l[0] if isinstance(self.l, tuple) else self.l
+        d = jnp.prod(jnp.real(jnp.diagonal(lr)))
+        return (d * d).astype(jnp.real(lr).dtype if isinstance(self.l, tuple)
+                              else self.l.dtype)
 
     def logdet(self):
-        return 2.0 * jnp.sum(jnp.log(jnp.real(jnp.diagonal(self.l))))
+        lr = self.l[0] if isinstance(self.l, tuple) else self.l
+        return 2.0 * jnp.sum(jnp.log(jnp.real(jnp.diagonal(lr))))
 
     def rank_update(self, w, alpha) -> "Llt":
         return Llt(l=_ch.llt_rank_r_update(self.l, _unmat(w), alpha), info=self.info)
@@ -187,6 +263,14 @@ class PartialPivLu:
 
     @staticmethod
     def new(a) -> "PartialPivLu":
+        ap, is_pair = _split_complex_if_needed(a)
+        if is_pair:
+            from faer_tpu.linalg import factor_cpair as _fc
+
+            if ap[0].shape[-2] != ap[0].shape[-1]:
+                raise ShapeError("PartialPivLu requires a square matrix")
+            packed, perm, ok = _fc.lu_in_place_pair(*ap)
+            return PartialPivLu(lu=packed, row_perm=perm, info=ok)
         a = _unmat(a)
         if a.shape[-2] != a.shape[-1]:
             raise ShapeError("PartialPivLu requires a square matrix")
@@ -194,27 +278,85 @@ class PartialPivLu:
         return PartialPivLu(lu=lu, row_perm=perm, info=info)
 
     def solve(self, rhs):
+        if isinstance(self.lu, tuple):
+            from faer_tpu.linalg import factor_cpair as _fc
+
+            bp, _ = _split_complex_if_needed(rhs, force=True)
+            return _pair_to_host(_fc.lu_solve_pair(self.lu, self.row_perm, *bp))
         return _lu.lu_solve(self.lu, self.row_perm, _unmat(rhs))
 
     def solve_transpose(self, rhs):
+        if isinstance(self.lu, tuple):
+            raise NotImplementedError(
+                "solve_transpose on the pair-backed complex LU: solve with "
+                "the adjoint factorization instead")
         return _lu.lu_solve_transpose(self.lu, self.row_perm, _unmat(rhs))
 
     def inverse(self):
+        if isinstance(self.lu, tuple):
+            from faer_tpu.linalg import factor_cpair as _fc
+
+            n = self.lu[0].shape[0]
+            eye = jnp.eye(n, dtype=self.lu[0].dtype)
+            return _pair_to_host(_fc.lu_solve_pair(
+                self.lu, self.row_perm, eye, jnp.zeros_like(eye)))
         return _lu.lu_inverse(self.lu, self.row_perm)
 
     def reconstruct(self):
+        if isinstance(self.lu, tuple):
+            import numpy as np
+
+            from faer_tpu.core.cpair import pmatmul
+
+            l = (jnp.tril(self.lu[0], -1) + jnp.eye(self.lu[0].shape[0],
+                                                    dtype=self.lu[0].dtype),
+                 jnp.tril(self.lu[1], -1))
+            u = (jnp.triu(self.lu[0]), jnp.triu(self.lu[1]))
+            prod = _pair_to_host(pmatmul(l, u))
+            out = np.empty_like(prod)
+            out[np.asarray(self.row_perm)] = prod
+            return out
         return _lu.lu_reconstruct(self.lu, self.row_perm)
 
     def determinant(self):
+        if isinstance(self.lu, tuple):
+            import numpy as np
+
+            du = _pair_to_host((jnp.diagonal(self.lu[0]),
+                                jnp.diagonal(self.lu[1])))
+            perm = np.asarray(self.row_perm)
+            # permutation parity by cycle count
+            seen = np.zeros(perm.size, bool)
+            sign = 1.0
+            for i in range(perm.size):
+                if seen[i]:
+                    continue
+                j, clen = i, 0
+                while not seen[j]:
+                    seen[j] = True
+                    j = perm[j]
+                    clen += 1
+                if clen % 2 == 0:
+                    sign = -sign
+            return sign * np.prod(du.astype(np.complex128))
         return _lu.lu_determinant(self.lu, self.row_perm, self.info.transposition_count)
 
     @property
     def L(self):
+        if isinstance(self.lu, tuple):
+            import numpy as np
+
+            lu = _pair_to_host(self.lu)
+            return np.tril(lu, -1) + np.eye(lu.shape[0], dtype=lu.dtype)
         n = self.lu.shape[0]
         return jnp.tril(self.lu, -1) + jnp.eye(n, dtype=self.lu.dtype)
 
     @property
     def U(self):
+        if isinstance(self.lu, tuple):
+            import numpy as np
+
+            return np.triu(_pair_to_host(self.lu))
         return jnp.triu(self.lu)
 
 
@@ -258,32 +400,74 @@ class Qr:
 
     @staticmethod
     def new(a) -> "Qr":
+        ap, is_pair = _split_complex_if_needed(a)
+        if is_pair:
+            from faer_tpu.linalg import factor_cpair as _fc
+
+            packed, ts, block = _fc.qr_in_place_pair(*ap)
+            return Qr(packed=packed, t_stack=ts, block=block)
         packed, ts, block = _qr.qr_in_place(_unmat(a))
         return Qr(packed=packed, t_stack=ts, block=block)
 
     def solve(self, rhs):
+        if isinstance(self.packed, tuple):
+            return self.solve_lstsq(rhs)
         if self.packed.shape[0] != self.packed.shape[1]:
             raise ShapeError("Qr.solve requires a square matrix; use solve_lstsq")
         return _qr.qr_solve(self.packed, self.t_stack, self.block, _unmat(rhs))
 
     def solve_lstsq(self, rhs):
+        if isinstance(self.packed, tuple):
+            from faer_tpu.linalg import factor_cpair as _fc
+
+            bp, _ = _split_complex_if_needed(rhs, force=True)
+            return _pair_to_host(_fc.qr_solve_lstsq_pair(
+                self.packed, self.t_stack, self.block, bp))
         return _qr.qr_solve_lstsq(self.packed, self.t_stack, self.block, _unmat(rhs))
 
     def inverse(self):
+        if isinstance(self.packed, tuple):
+            n = self.packed[0].shape[1]
+            eye = jnp.eye(n, dtype=self.packed[0].dtype)
+            return self.solve_lstsq((eye, jnp.zeros_like(eye)))
         return _qr.qr_inverse(self.packed, self.t_stack, self.block)
 
     def reconstruct(self):
+        if isinstance(self.packed, tuple):
+            m, n = self.packed[0].shape
+            k = min(m, n)
+            rr = jnp.zeros((m, n), self.packed[0].dtype).at[:k].set(
+                jnp.triu(self.packed[0])[:k])
+            ri = jnp.zeros((m, n), self.packed[0].dtype).at[:k].set(
+                jnp.triu(self.packed[1])[:k])
+            return _pair_to_host(self.apply_q((rr, ri)))
         return _qr.qr_reconstruct(self.packed, self.t_stack, self.block)
 
     def compute_q(self, *, thin: bool = True):
+        if isinstance(self.packed, tuple):
+            m = self.packed[0].shape[0]
+            k = min(self.packed[0].shape) if thin else m
+            eye = jnp.eye(m, k, dtype=self.packed[0].dtype)
+            return _pair_to_host(self.apply_q((eye, jnp.zeros_like(eye))))
         return _qr.qr_compute_q(self.packed, self.t_stack, self.block, thin=thin)
 
     def apply_q(self, rhs, *, adjoint: bool = False):
+        if isinstance(self.packed, tuple):
+            from faer_tpu.linalg import factor_cpair as _fc
+
+            bp, _ = _split_complex_if_needed(rhs, force=True)
+            return _fc.qr_apply_q_pair(self.packed, self.t_stack, self.block,
+                                       bp, adjoint=adjoint)
         return _qr.qr_apply_q(self.packed, self.t_stack, self.block, _unmat(rhs),
                               adjoint=adjoint)
 
     @property
     def R(self):
+        if isinstance(self.packed, tuple):
+            import numpy as np
+
+            k = min(self.packed[0].shape)
+            return np.triu(_pair_to_host(self.packed))[:k, :]
         k = min(self.packed.shape)
         return jnp.triu(self.packed)[:k, :]
 
@@ -332,12 +516,22 @@ class Svd:
     def new(a, *, thin: bool = True) -> "Svd":
         from faer_tpu.linalg import svd as _svd
 
+        ap, is_pair = _split_complex_if_needed(a)
+        if is_pair:
+            from faer_tpu.linalg import factor_cpair as _fc
+
+            ar, ai = ap
+            if ar.shape[0] >= ar.shape[1]:
+                s, u, v, info = _fc.svd_pair(ar, ai)
+            else:                       # A = U S Vᴴ ⇔ Aᴴ = V S Uᴴ
+                s, v, u, info = _fc.svd_pair(ar.T, -ai.T)
+            return Svd(u=u, s=s, v=v, info=info)
         u, s, v, info = _svd.svd(_unmat(a), thin=thin)
         return Svd(u=u, s=s, v=v, info=info)
 
     @property
     def U(self):
-        return self.u
+        return _pair_to_host(self.u) if isinstance(self.u, tuple) else self.u
 
     @property
     def S(self):
@@ -345,9 +539,14 @@ class Svd:
 
     @property
     def V(self):
-        return self.v
+        return _pair_to_host(self.v) if isinstance(self.v, tuple) else self.v
 
     def reconstruct(self):
+        if isinstance(self.u, tuple):
+            from faer_tpu.core.cpair import pmatmul
+
+            us = (self.u[0] * self.s[None, :], self.u[1] * self.s[None, :])
+            return _pair_to_host(pmatmul(us, (self.v[0].T, -self.v[1].T)))
         return matmul(None, self.u * self.s[None, :].astype(self.u.dtype),
                       jnp.conj(self.v).T)
 
