@@ -266,10 +266,7 @@ def lu_numeric_multifrontal(a: SparseCscMat, symb: SymbolicCholesky | None = Non
     ap = _permute_cols(a, symb.perm)
     rptr, rcols, rvals, leftmost = _rows_by_leftmost(ap)
     nsn = len(ssym.sn_rows)
-    rows_of_sn = [[] for _ in range(nsn)]
-    for r in range(n):
-        if leftmost[r] < n:
-            rows_of_sn[int(ssym.col_of_sn[leftmost[r]])].append(r)
+    rows_of_sn = _rows_grouped_by_sn(leftmost, ssym.col_of_sn, n, nsn)
     contribs: list[list] = [[] for _ in range(nsn)]
 
     dtype = ap.values.dtype
@@ -282,14 +279,9 @@ def lu_numeric_multifrontal(a: SparseCscMat, symb: SymbolicCholesky | None = Non
         w = j1 - j0
         pattern = np.asarray(ssym.sn_rows[s], dtype=np.int64)
         c = pattern.size
-        blocks, row_ids = [], []
-        for r in rows_of_sn[s]:
-            rr = slice(int(rptr[r]), int(rptr[r + 1]))
-            row = np.zeros(c, dtype=dtype)
-            pos = np.searchsorted(pattern, rcols[rr])
-            row[pos] = rvals[rr]
-            blocks.append(row[None, :])
-            row_ids.append(r)
+        rs = rows_of_sn[s]
+        blocks = [_assemble_rows(rs, rptr, rcols, rvals, pattern, dtype)]
+        row_ids = list(rs)
         for ccols, cblock, crows in contribs[s]:
             sub = np.zeros((cblock.shape[0], c), dtype=dtype)
             pos = np.searchsorted(pattern, ccols)
@@ -385,22 +377,21 @@ def lu_numeric_multifrontal(a: SparseCscMat, symb: SymbolicCholesky | None = Non
         val = np.concatenate(val_all) if val_all else np.zeros(0, dtype)
         return SparseCscMat(SymbolicSparseCsc(n, n, ptr, idx), val)
 
-    # U columns: u_cols stores ROWS of U per pivot row j; convert to columns
-    u_by_col: list[list] = [[] for _ in range(n)]
-    for j in range(n):
-        cols_j, vals_j = u_cols[j]
-        for cc, vv in zip(cols_j, vals_j):
-            if vv != 0:
-                u_by_col[int(cc)].append((j, vv))
-    u_cols_csc = []
-    for j in range(n):
-        if u_by_col[j]:
-            ri = np.array([t[0] for t in u_by_col[j]], dtype=np.int64)
-            rv = np.array([t[1] for t in u_by_col[j]], dtype=dtype)
-        else:
-            ri = np.zeros(0, np.int64)
-            rv = np.zeros(0, dtype)
-        u_cols_csc.append((ri, rv))
+    # U columns: u_cols stores ROWS of U per pivot row j; transpose to CSC
+    # columns with one vectorized concatenate + stable sort over all nnz
+    u_rows = np.concatenate([np.full(u_cols[j][0].size, j, dtype=np.int64)
+                             for j in range(n)]) if n else np.zeros(0, np.int64)
+    u_colids = np.concatenate([np.asarray(u_cols[j][0], dtype=np.int64)
+                               for j in range(n)]) if n else np.zeros(0, np.int64)
+    u_vals = np.concatenate([np.asarray(u_cols[j][1], dtype=dtype)
+                             for j in range(n)]) if n else np.zeros(0, dtype)
+    keepnz = u_vals != 0
+    u_rows, u_colids, u_vals = u_rows[keepnz], u_colids[keepnz], u_vals[keepnz]
+    order = np.argsort(u_colids, kind="stable")   # rows stay ascending per col
+    u_rows, u_colids, u_vals = u_rows[order], u_colids[order], u_vals[order]
+    starts = np.searchsorted(u_colids, np.arange(n + 1))
+    u_cols_csc = [(u_rows[starts[j]:starts[j + 1]],
+                   u_vals[starts[j]:starts[j + 1]]) for j in range(n)]
     l = build(l_cols, remap=True, unit=True)
     u = build(u_cols_csc, remap=False, unit=False)
     return SparseLu(nrows=n, ncols=n, row_perm=p.copy(), col_perm=symb.perm,

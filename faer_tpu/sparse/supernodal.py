@@ -69,7 +69,12 @@ def detect_supernodes(symb: SymbolicCholesky, *, relax: int = 8,
         sep = (cur_sep or w_cur * cur_rows.size) + w_nxt * nxt.size
         union = np.union1d(cur_rows, nxt)
         after = (w_cur + w_nxt) * union.size
-        if (w_cur + w_nxt <= relax) or (after - sep <= relax_ratio * sep):
+        # merging is only sound when the columns stay an etree parent CHAIN
+        # (parent of the previous supernode's last column is this supernode's
+        # first column) — otherwise contribution-block containment breaks
+        chained = parent[j0 - 1] == j0
+        if chained and ((w_cur + w_nxt <= relax)
+                        or (after - sep <= relax_ratio * sep)):
             cur_rows = union
             cur_sep = sep
         else:
