@@ -121,6 +121,136 @@ def hessenberg_in_place(a):
     return a, q
 
 
+def _hess_panel(t, bw: int):
+    """lahr2-style Hessenberg panel on trailing block ``t`` (m×m): ``bw``
+    reflectors with DEFERRED two-sided updates.  Maintains
+    ``P = Vᴴ A0`` (two matvecs per step are the only O(m²) work) and the
+    compact-WY ``T`` so the virtually-updated matrix is
+    ``A = A0 − V (TᴴP) − (RT) Vᴴ + V (Tᴴ (PV) T) Vᴴ`` with ``R = A0 V``.
+    Returns (V, T, P, R, e_p) — e_p holds the subdiagonal betas; the caller
+    materializes the trailing update and the Hessenberg columns."""
+    m = t.shape[0]
+    dtype = t.dtype
+    rdt = dtypes.real_dtype_of(dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
+    cols_b = jax.lax.broadcasted_iota(jnp.int32, (1, bw), 1)[0]
+
+    def body(i, st):
+        v_p, t_p, p_p, r_p, pv, e_p = st
+        # virtual column i
+        col = jax.lax.dynamic_slice(t, (0, i), (m, 1))[:, 0]
+        pcol = jax.lax.dynamic_slice(p_p, (0, i), (bw, 1))      # P[:, i]
+        vrow = jnp.conj(jax.lax.dynamic_slice(v_p, (i, 0), (1, bw))[0])[:, None]
+        th = jnp.conj(t_p).T
+        c = col - matmul(None, v_p, matmul(None, th, pcol))[:, 0]
+        c = c - matmul(None, r_p, matmul(None, t_p, vrow))[:, 0]
+        c = c + matmul(None, v_p, matmul(None, th, matmul(
+            None, pv, matmul(None, t_p, vrow))))[:, 0]
+        # Householder pivoting at row i+1
+        below1 = rows > i + 1
+        head = jnp.where(rows == i + 1, c, jnp.zeros_like(c))
+        alpha = jnp.sum(head)
+        tail_sq = jnp.sum(jnp.where(below1, jnp.abs(c).astype(rdt) ** 2, 0))
+        norm = jnp.sqrt(jnp.abs(alpha).astype(rdt) ** 2 + tail_sq)
+        sign = jnp.where(jnp.real(alpha) >= 0, jnp.ones((), rdt),
+                         -jnp.ones((), rdt))
+        beta = (-sign * norm).astype(dtype)
+        if dtypes.is_complex(dtype):
+            is_id = (tail_sq == 0) & (jnp.imag(alpha) == 0)
+        else:
+            is_id = tail_sq == 0
+        s = alpha - beta
+        safe_s = jnp.where(is_id, jnp.ones((), dtype), s)
+        safe_b = jnp.where(is_id, jnp.ones((), dtype), beta)
+        tau = jnp.where(is_id, jnp.zeros((), dtype), (beta - alpha) / safe_b)
+        beta = jnp.where(is_id, alpha, beta)
+        v = jnp.where(below1, c / safe_s, jnp.zeros_like(c))
+        v = jnp.where(is_id, jnp.zeros_like(v), v)
+        v = v + jnp.where(rows == i + 1, jnp.ones_like(v), jnp.zeros_like(v))
+        # grow T: T ← [[T, −τ T (Vᴴ v)], [0, τ]]
+        vhv = matmul(None, jnp.conj(v_p).T, v[:, None])          # (bw, 1)
+        tcol = (-tau) * matmul(None, t_p, vhv)[:, 0]
+        live = cols_b == i
+        t_p = jnp.where(live[None, :],
+                        tcol[:, None] + jnp.where(cols_b[:, None] == i,
+                                                  tau, 0.0).astype(dtype),
+                        t_p)
+        # grow P, R, PV with the only O(m²) work: two matvecs against A0
+        p_new = matmul(None, jnp.conj(v)[None, :], t)[0]         # vᴴ A0
+        r_new = matmul(None, t, v[:, None])[:, 0]                # A0 v
+        p_p = jnp.where(live[:, None], p_new[None, :], p_p)
+        r_p = jnp.where(live[None, :], r_new[:, None], r_p)
+        # PV ← Vᴴ A0 V: new row = vᴴ A0 V (from p_new), new col = P v
+        pv_row = matmul(None, p_new[None, :], v_p)[0]
+        pv_col = matmul(None, p_p, v[:, None])[:, 0]
+        pv = jnp.where(live[:, None], pv_row[None, :], pv)
+        pv = jnp.where(live[None, :], pv_col[:, None], pv)
+        e_p = e_p.at[i].set(beta)
+        v_p = jnp.where(live[None, :], v[:, None], v_p)
+        return v_p, t_p, p_p, r_p, pv, e_p
+
+    st0 = (jnp.zeros((m, bw), dtype), jnp.zeros((bw, bw), dtype),
+           jnp.zeros((bw, m), dtype), jnp.zeros((m, bw), dtype),
+           jnp.zeros((bw, bw), dtype), jnp.zeros((bw,), dtype))
+    v_p, t_p, p_p, r_p, pv, e_p = jax.lax.fori_loop(0, bw, body, st0)
+    return v_p, t_p, p_p, r_p, pv, e_p
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def hessenberg_blocked(a, *, block: int = 96):
+    """Blocked Hessenberg reduction: same contract as
+    ``hessenberg_in_place`` (faer's blocked ``hessenberg.rs:549``).  Panels
+    defer the two-sided updates (two matvecs per column); trailing blocks and
+    the Q accumulation are compact-WY GEMMs on the MXU."""
+    from faer_tpu.ops.householder import apply_block_on_left, apply_block_on_right
+
+    n = a.shape[0]
+    dtype = a.dtype
+    if n <= max(2 * block, 192):
+        return hessenberg_in_place(a)
+    panels = []
+    h = a
+    j0 = 0
+    while n - j0 > 2 * block:
+        bw = block
+        m = n - j0
+        t = h[j0:, j0:]
+        v_p, t_p, p_p, r_p, pv, e_p = _hess_panel(t, bw)
+        # materialize A1 = (I − V T Vᴴ)ᴴ A0 (I − V T Vᴴ) on the trailing block
+        th = jnp.conj(t_p).T
+        w_full = matmul(None, th, p_p)                 # Tᴴ Vᴴ A0   (bw, m)
+        y_full = matmul(None, r_p, t_p)                # A0 V T     (m, bw)
+        cross = matmul(None, th, matmul(None, pv, t_p))
+        t_new = t - matmul(None, v_p, w_full) - matmul(
+            None, y_full - matmul(None, v_p, cross), jnp.conj(v_p).T)
+        # right-update the strip ABOVE the trailing block: A[:j0, j0:] H
+        strip = apply_block_on_right(v_p, t_p, h[:j0, j0:], adjoint=False)
+        h = h.at[:j0, j0:].set(strip)
+        # overwrite the panel's Hessenberg columns exactly: head rows from
+        # the virtual columns, beta on the subdiagonal, zeros below
+        rows_loc = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
+        cols_loc = jax.lax.broadcasted_iota(jnp.int32, (1, bw), 1)[0]
+        keep = rows_loc[:, None] <= cols_loc[None, :]
+        sub = rows_loc[:, None] == cols_loc[None, :] + 1
+        hcols = jnp.where(keep, t_new[:, :bw], 0) + jnp.where(
+            sub, e_p[None, :], 0)
+        t_new = t_new.at[:, :bw].set(hcols)
+        h = h.at[j0:, j0:].set(t_new)
+        panels.append((j0, v_p, t_p))
+        j0 += bw
+    h_t, q_t = hessenberg_in_place(h[j0:, j0:])
+    h = h.at[j0:, j0:].set(h_t)
+    # the tail's similarity also right-updates the strip above it
+    h = h.at[:j0, j0:].set(matmul(None, h[:j0, j0:], q_t))
+    # Q = (panel blocks) · Q_tail, applied to identity via compact-WY GEMMs
+    q = jnp.zeros((n, n), dtype).at[j0:, j0:].set(q_t)
+    q = q.at[jnp.arange(j0), jnp.arange(j0)].set(1.0)
+    for pj0, v_p, t_p in reversed(panels):
+        qsub = apply_block_on_left(v_p, t_p, q[pj0:, :], adjoint=False)
+        q = q.at[pj0:, :].set(qsub)
+    return h, q
+
+
 # ---------------------------------------------------------------------------
 # complex Schur via single-shift implicit QR
 # ---------------------------------------------------------------------------
@@ -335,7 +465,7 @@ def evd_pair(a, *, max_sweeps_factor: int = 30):
     from faer_tpu.linalg.eigvec import quasi_triangular_eigenvectors_pair
     from faer_tpu.linalg.real_schur import schur_eigenvalues_pair
 
-    h, q = hessenberg_in_place(a)
+    h, q = hessenberg_blocked(a)
     t, qs, info = _real_schur_dispatch(h, q, max_sweeps_factor=max_sweeps_factor)
     wr, wi = schur_eigenvalues_pair(t)
     xr, xi = quasi_triangular_eigenvectors_pair(t, wr, wi)
@@ -349,7 +479,7 @@ def eigenvalues_pair(a, *, max_sweeps_factor: int = 30):
     """Eigenvalues of a real matrix as ``(re, im)`` — jittable, TPU-native."""
     from faer_tpu.linalg.real_schur import schur_eigenvalues_pair
 
-    h, q = hessenberg_in_place(a)
+    h, q = hessenberg_blocked(a)
     t, _, _ = _real_schur_dispatch(h, q, max_sweeps_factor=max_sweeps_factor)
     return schur_eigenvalues_pair(t)
 
@@ -378,7 +508,7 @@ def evd(a, *, max_sweeps_factor: int = 30):
         return _combine_pair(wr, wi), _combine_pair(vr, vi), info
     from faer_tpu.linalg.eigvec import triangular_eigenvectors
 
-    h, q = hessenberg_in_place(a)
+    h, q = hessenberg_blocked(a)
     t, qs, info = complex_schur(h, q, max_sweeps_factor=max_sweeps_factor)
     w = jnp.diagonal(t)
     vt = triangular_eigenvectors(t)
@@ -400,6 +530,6 @@ def eigenvalues(a, *, max_sweeps_factor: int = 30):
         ai = jnp.asarray(np.imag(np.asarray(a)), rdt)
         wr, wi = eigenvalues_cpair(ar, ai, max_sweeps_factor=max_sweeps_factor)
         return _combine_pair(wr, wi)
-    h, q = hessenberg_in_place(a)
+    h, q = hessenberg_blocked(a)
     t, _, _ = complex_schur(h, q, max_sweeps_factor=max_sweeps_factor)
     return jnp.diagonal(t)
