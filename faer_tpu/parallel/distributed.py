@@ -47,10 +47,14 @@ _i32 = jnp.int32
 
 
 def _shard_map(body, mesh, in_specs, out_specs, check_rep=False):
-    from jax.experimental.shard_map import shard_map
+    try:                                   # jax >= 0.8
+        return jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=check_rep)
+    except (AttributeError, TypeError):    # older runtimes
+        from jax.experimental.shard_map import shard_map
 
-    return shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                     check_rep=check_rep)
+        return shard_map(body, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=check_rep)
 
 
 # --------------------------------------------------------------------------
@@ -147,6 +151,85 @@ def block_cyclic_llt(a, mesh: Mesh, *, axis: str = "p", block: int = 64):
     with platform_scope(mesh.devices.flat[0].platform):
         out_local = fn(a_local)
     l = _local_to_cyclic(out_local, nblocks, nproc, block)
+    return jnp.tril(l)
+
+
+def block_cyclic_llt_2d(a, mesh: Mesh, *, row_axis: str = "pr",
+                        col_axis: str = "pc", block: int = 32):
+    """Distributed LLT over a 2-D BLOCK-CYCLIC layout (ScaLAPACK ``pdpotrf``
+    structure): block (i, j) lives on device (i mod pr, j mod pc); per step
+    the k-panel is assembled with one ``psum`` per mesh axis and every device
+    runs ONE local trailing GEMM on its own blocks — communication scales as
+    O(n·b) per panel on each axis instead of the 1-D layout's full-matrix
+    column traffic, and the trailing flops split pr·pc ways (SURVEY §5.8
+    "2-D block-cyclic over ICI").
+
+    Returns the lower factor L (replicated).  Requires
+    ``n % (block·pr) == n % (block·pc) == 0``.
+    """
+    n = a.shape[0]
+    pr = mesh.shape[row_axis]
+    pc = mesh.shape[col_axis]
+    assert n % (block * pr) == 0 and n % (block * pc) == 0, (n, block, pr, pc)
+    nblocks = n // block
+    lbr = nblocks // pr
+    lbc = nblocks // pc
+    reg = LltRegularization()
+    rows_iota = jnp.arange(n, dtype=_i32)
+
+    def body(a_loc):
+        # a_loc: (lbr·b, lbc·b) — this device's 2-D cyclic blocks
+        r = jax.lax.axis_index(row_axis)
+        c = jax.lax.axis_index(col_axis)
+        gi = jnp.arange(lbr, dtype=_i32) * pr + r
+        gj = jnp.arange(lbc, dtype=_i32) * pc + c
+        colmask_g = jnp.repeat(gj, block)
+        grow_ids = (gi[:, None] * block
+                    + jnp.arange(block, dtype=_i32)[None, :]).reshape(-1)
+        gcol_ids = (gj[:, None] * block
+                    + jnp.arange(block, dtype=_i32)[None, :]).reshape(-1)
+
+        def step(k, a_loc):
+            coln = k % pc
+            lc = k // pc
+            # my rows of panel k — live on device column k%pc only
+            strip = jax.lax.dynamic_slice(a_loc, (0, lc * block),
+                                          (lbr * block, block))
+            strip = jnp.where(c == coln, strip, jnp.zeros_like(strip))
+            strip = jax.lax.psum(strip, col_axis)
+            # assemble the GLOBAL (n, b) panel: scatter my rows, psum rows
+            panel = jnp.zeros((n, block), a_loc.dtype).at[grow_ids].set(strip)
+            panel = jax.lax.psum(panel, row_axis)
+            diag = jax.lax.dynamic_slice(panel, (k * block, 0), (block, block))
+            ldiag, _, _ = _llt_panel_recursive(diag, reg, min(64, block))
+            linv = invert_lower_triangular(ldiag, base=block)
+            below = (rows_iota >= (k + 1) * block)[:, None]
+            lpanel = matmul(None, jnp.where(below, panel, 0),
+                            jnp.conj(linv).T)
+            lpanel = jnp.where(below, lpanel, jnp.zeros_like(lpanel))
+            lpanel = jax.lax.dynamic_update_slice(lpanel, ldiag,
+                                                  (k * block, 0))
+            # store my rows of the finished panel back (owner column only)
+            mine = jnp.take(lpanel, grow_ids, axis=0)
+            stored = jax.lax.dynamic_update_slice(a_loc, mine, (0, lc * block))
+            a_loc = jnp.where(c == coln, stored, a_loc)
+            # one LOCAL trailing GEMM: A_ij −= L_ik L_jkᴴ on my blocks j > k
+            lcols = jnp.take(lpanel, gcol_ids, axis=0)
+            upd = matmul(None, mine, jnp.conj(lcols).T)
+            keep = (colmask_g > k)[None, :]
+            return jnp.where(keep, a_loc - upd, a_loc)
+
+        return jax.lax.fori_loop(0, nblocks, step, a_loc)
+
+    from faer_tpu.core.config import platform_scope
+
+    a2 = _cyclic_to_local(a, nblocks, pc, block)
+    a2 = _cyclic_rows_to_local(a2, nblocks, pr, block)
+    fn = _shard_map(body, mesh, P(row_axis, col_axis), P(row_axis, col_axis))
+    with platform_scope(mesh.devices.flat[0].platform):
+        out_local = fn(a2)
+    l = _local_rows_to_cyclic(out_local, nblocks, pr, block)
+    l = _local_to_cyclic(l, nblocks, pc, block)
     return jnp.tril(l)
 
 

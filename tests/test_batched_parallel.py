@@ -151,3 +151,21 @@ def test_block_cyclic_distributed_qr():
     x = block_cyclic_qr_lstsq(packed, t_stack, b, mesh, block=16)
     xr = np.linalg.lstsq(np.asarray(a), np.asarray(b), rcond=None)[0]
     assert_approx_eq(np.asarray(x), xr, scale=size_scale(m) * 256)
+
+
+def test_block_cyclic_llt_2d():
+    """2-D block-cyclic LLT (pdpotrf structure) on a 2x4 CPU mesh."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from faer_tpu.parallel.distributed import block_cyclic_llt_2d
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("pr", "pc"))
+    n = 128
+    g = jax.random.normal(jax.random.key(9), (n, n), jnp.float32)
+    a = g @ g.T / n + jnp.eye(n, dtype=jnp.float32)
+    l = block_cyclic_llt_2d(a, mesh, block=16)
+    ln = np.asarray(l, np.float64)
+    rec = np.abs(ln @ ln.T - np.asarray(a, np.float64)).max()
+    assert rec < 1e-4, rec
