@@ -155,3 +155,121 @@ def quasi_triangular_eigenvectors_pair(t, wr, wi):
     norms = jnp.sqrt(jnp.sum(xr * xr + xi * xi, axis=0))
     norms = jnp.where(norms == 0, jnp.ones_like(norms), norms)
     return xr / norms[None, :], xi / norms[None, :]
+
+
+def quasi_triangular_generalized_eigenvectors_pair(s, t, ar, ai, be):
+    """Right eigenvectors of the real quasi-triangular PENCIL ``(S, T)``
+    (S quasi-triangular, T upper triangular) with eigenvalues given as
+    ``(α, β)`` triples (``qz_real.qz_eigenvalues_pair`` convention).
+
+    Column k of ``Vr + i·Vi`` solves the HOMOGENEOUS ``(β_k S − α_k T) y = 0``
+    — no division by β, so infinite eigenvalues (β = 0) fall out naturally as
+    null directions of T.  Pure real arithmetic; the generalized analogue of
+    faer's shifted quasi-triangular solves (``evd/mod.rs:670-882``).
+    """
+    n = s.shape[0]
+    dtype = s.dtype
+    eps = dtypes.eps(dtype)
+    snorm = jnp.max(jnp.abs(s))
+    tnorm = jnp.max(jnp.abs(t))
+    amag = jnp.sqrt(ar * ar + ai * ai)
+    floor = eps * jnp.maximum(be * snorm + amag * tnorm,
+                              jnp.ones((), dtype))          # (n,) per-vector
+
+    sd = jnp.zeros((n,), dtype).at[: n - 1].set(jnp.diagonal(s, -1)) \
+        if n > 1 else jnp.zeros((n,), dtype)
+    pair_top = sd != 0
+    pair_bot = jnp.concatenate([jnp.zeros((1,), bool), pair_top[:-1]])
+    ks = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    start = jnp.where(pair_bot, ks - 1, ks)
+
+    # seeds: 1×1 → e_k ; 2×2 block (m, m+1) → (P12, −P11) with
+    # P = β S − α T on the block (a null vector of the singular 2×2 pencil)
+    def pij(i, j):
+        return be * s[i, j] - ar * t[i, j], -ai * t[i, j]
+
+    sdiag = jnp.diagonal(s)
+    tdiag = jnp.diagonal(t)
+    ssup = jnp.zeros((n,), dtype).at[: n - 1].set(jnp.diagonal(s, 1)) \
+        if n > 1 else jnp.zeros((n,), dtype)
+    tsup = jnp.zeros((n,), dtype).at[: n - 1].set(jnp.diagonal(t, 1)) \
+        if n > 1 else jnp.zeros((n,), dtype)
+    p12_r = be * ssup[start] - ar * tsup[start]
+    p12_i = -ai * tsup[start]
+    p11_r = be * sdiag[start] - ar * tdiag[start]
+    p11_i = -ai * tdiag[start]
+    in_pair = pair_top[start]
+    one = jnp.ones((n,), dtype)
+    xr0 = jnp.zeros((n, n), dtype).at[start, ks].set(
+        jnp.where(in_pair, p12_r, one))
+    xi0 = jnp.zeros((n, n), dtype).at[start, ks].set(
+        jnp.where(in_pair, p12_i, jnp.zeros((n,), dtype)))
+    row2 = jnp.where(in_pair, start + 1, start)
+    xr0 = xr0.at[row2, ks].add(jnp.where(in_pair, -p11_r, 0.0))
+    xi0 = xi0.at[row2, ks].add(jnp.where(in_pair, -p11_i, 0.0))
+
+    sp = jnp.zeros((n + 1, n), dtype).at[:n, :].set(s)
+    tp_ = jnp.zeros((n + 1, n), dtype).at[:n, :].set(t)
+
+    def step(carry, j):
+        xr, xi = carry
+        j1 = jnp.minimum(j + 1, n)
+        jc1 = jnp.minimum(j + 1, n - 1)
+        su0, tu0 = sp[j, :], tp_[j, :]
+        su1, tu1 = sp[j1, :], tp_[j1, :]
+        us_r, us_i = su0 @ xr[:n], su0 @ xi[:n]
+        ut_r, ut_i = tu0 @ xr[:n], tu0 @ xi[:n]
+        rhs0r = -(be * us_r - (ar * ut_r - ai * ut_i))
+        rhs0i = -(be * us_i - (ar * ut_i + ai * ut_r))
+        vs_r, vs_i = su1 @ xr[:n], su1 @ xi[:n]
+        vt_r, vt_i = tu1 @ xr[:n], tu1 @ xi[:n]
+        rhs1r = -(be * vs_r - (ar * vt_r - ai * vt_i))
+        rhs1i = -(be * vs_i - (ar * vt_i + ai * vt_r))
+        # --- singleton: y_j = rhs_j / (β S_jj − α T_jj)
+        d0r = be * sp[j, j] - ar * tp_[j, j]
+        d0i = -ai * tp_[j, j]
+        mag = jnp.sqrt(d0r * d0r + d0i * d0i)
+        small = mag < floor
+        d0r = jnp.where(small, floor, d0r)
+        d0i = jnp.where(small, jnp.zeros_like(d0i), d0i)
+        sing_r, sing_i = _cdiv2(rhs0r, rhs0i, d0r, d0i)
+        # --- 2×2 pair: complex Cramer (P21 real: T has no subdiagonal)
+        p11r = be * sp[j, j] - ar * tp_[j, j]
+        p11i = -ai * tp_[j, j]
+        p22r = be * sp[j1, jc1] - ar * tp_[j1, jc1]
+        p22i = -ai * tp_[j1, jc1]
+        p12r = be * sp[j, jc1] - ar * tp_[j, jc1]
+        p12i = -ai * tp_[j, jc1]
+        p21 = be * sp[j1, j]
+        detr = p11r * p22r - p11i * p22i - (p12r * p21)
+        deti = p11r * p22i + p11i * p22r - (p12i * p21)
+        dmag = jnp.sqrt(detr * detr + deti * deti)
+        dfloor = floor * floor
+        bad = dmag < dfloor
+        detr = jnp.where(bad, dfloor, detr)
+        deti = jnp.where(bad, jnp.zeros_like(deti), deti)
+        n0r = rhs0r * p22r - rhs0i * p22i - (p12r * rhs1r - p12i * rhs1i)
+        n0i = rhs0r * p22i + rhs0i * p22r - (p12r * rhs1i + p12i * rhs1r)
+        n1r = p11r * rhs1r - p11i * rhs1i - p21 * rhs0r
+        n1i = p11r * rhs1i + p11i * rhs1r - p21 * rhs0i
+        pj_r, pj_i = _cdiv2(n0r, n0i, detr, deti)
+        pj1_r, pj1_i = _cdiv2(n1r, n1i, detr, deti)
+
+        is_top = pair_top[j]
+        solve_mask = (j < start) & ~pair_bot[j]
+        val_r = jnp.where(is_top, pj_r, sing_r)
+        val_i = jnp.where(is_top, pj_i, sing_i)
+        xr = xr.at[j, :].set(jnp.where(solve_mask, val_r, xr[j, :]))
+        xi = xi.at[j, :].set(jnp.where(solve_mask, val_i, xi[j, :]))
+        pair_mask = solve_mask & is_top
+        xr = xr.at[j1, :].set(jnp.where(pair_mask, pj1_r, xr[j1, :]))
+        xi = xi.at[j1, :].set(jnp.where(pair_mask, pj1_i, xi[j1, :]))
+        return (xr, xi), None
+
+    xr = jnp.zeros((n + 1, n), dtype).at[:n].set(xr0)
+    xi = jnp.zeros((n + 1, n), dtype).at[:n].set(xi0)
+    (xr, xi), _ = jax.lax.scan(step, (xr, xi), jnp.arange(n - 1, -1, -1))
+    xr, xi = xr[:n], xi[:n]
+    norms = jnp.sqrt(jnp.sum(xr * xr + xi * xi, axis=0))
+    norms = jnp.where(norms == 0, jnp.ones_like(norms), norms)
+    return xr / norms[None, :], xi / norms[None, :]

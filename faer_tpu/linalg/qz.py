@@ -269,9 +269,26 @@ def gevd_qz(a, b):
         return (_combine_pair(*al), _combine_pair(*be), _combine_pair(*v),
                 info)
     n = a.shape[0]
-    # eigenvector extraction below needs a strictly triangular S, so real
-    # pencils are complexified here (the Schur-form/eigenvalue-only APIs use
-    # the real path)
+    if not dtypes.is_complex(a.dtype):
+        # real pencils: real QZ + the quasi-triangular PENCIL eigenvector
+        # scan — end-to-end real arithmetic (no complexification tax)
+        from faer_tpu.linalg.eigvec import (
+            quasi_triangular_generalized_eigenvectors_pair,
+        )
+        from faer_tpu.linalg.qz_real import qz_eigenvalues_pair, real_qz
+
+        s_, t_, q, z, info = real_qz(a, b)
+        ar, ai, be = qz_eigenvalues_pair(s_, t_)
+        yr, yi = quasi_triangular_generalized_eigenvectors_pair(
+            s_, t_, ar, ai, be)
+        from faer_tpu.ops.matmul import matmul as _mm
+
+        vr = _mm(None, z, yr)
+        vi = _mm(None, z, yi)
+        from faer_tpu.linalg.evd import _combine_pair
+
+        return (_combine_pair(ar, ai), _combine_pair(be, jnp.zeros_like(be)),
+                _combine_pair(vr, vi), info)
     s_, t_, q, z, info = _qz_complex(a, b)
     alpha = jnp.diagonal(s_)
     beta = jnp.diagonal(t_)

@@ -94,3 +94,35 @@ def test_qz_front_door_real_dispatch():
     an = np.asarray(a, np.float64)
     rec = np.asarray(q, np.float64) @ np.asarray(s, np.float64) @ np.asarray(z, np.float64).T
     assert np.abs(rec - an).max() < 1e-4
+
+
+def test_real_gevd_eigenvectors():
+    """gevd_qz on real pencils: real QZ + the generalized quasi-triangular
+    eigenvector scan — no complexification (VERDICT r2 #6 follow-through).
+    Columnwise A v β = B v α, incl. a singular-B (infinite eigenvalue) case."""
+    from faer_tpu.linalg.qz import gevd_qz
+
+    rng = np.random.default_rng(5)
+    n = 48
+    a = jnp.asarray(rng.standard_normal((n, n)))
+    b = jnp.asarray(rng.standard_normal((n, n)))
+    al, be, v, info = gevd_qz(a, b)
+    al, be, v = np.asarray(al), np.asarray(be), np.asarray(v)
+    an, bn = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    res = np.abs(an @ v * be[None, :] - bn @ v * al[None, :]).max()
+    assert res < 1e-10 * max(np.abs(an).max(), np.abs(bn).max()) * n, res
+    import scipy.linalg as sla
+
+    wref = sla.eigvals(an, bn)
+    w = al / be
+    err = max(np.abs(wref - w[np.argmin(np.abs(w - x))]).min() for x in wref)
+    assert err < 1e-10, err
+
+    bs = rng.standard_normal((n, n))
+    bs[:, 0] = 0
+    bs[0] = 0
+    al, be, v, info = gevd_qz(a, jnp.asarray(bs))
+    al, be, v = np.asarray(al), np.asarray(be), np.asarray(v)
+    res = np.abs(an @ v * be[None, :] - np.asarray(bs) @ v * al[None, :]).max()
+    assert res < 1e-9, res
+    assert (np.abs(be) < 1e-12).sum() >= 1     # infinite eigenvalue surfaced
