@@ -540,6 +540,150 @@ def block_cyclic_lu(a, mesh: Mesh, *, axis: str = "p", block: int = 64):
     return lu, perm, ok
 
 
+def block_cyclic_lu_2d(a, mesh: Mesh, *, row_axis: str = "pr",
+                       col_axis: str = "pc", block: int = 32):
+    """Distributed partial-pivot LU over a 2-D BLOCK-CYCLIC layout
+    (ScaLAPACK ``pdgetrf`` structure with CALU tournament pivoting):
+    block (i, j) on device (i mod pr, j mod pc).  Per panel: one ``psum``
+    over ``pc`` ships the panel strip to every device column, candidates +
+    one ``all_gather`` over ``pr`` elect the pivots (tournament), one
+    ``psum`` over ``pr`` exchanges displaced row slices PER COLUMN, one
+    ``psum`` over ``pr`` broadcasts the pivot rows, one ``psum`` over ``pc``
+    broadcasts L21 — then every device runs ONE local trailing GEMM.
+
+    Returns ``(lu_packed, row_perm, ok)`` replicated, ``A[row_perm] = L U``.
+    """
+    n = a.shape[0]
+    pr = mesh.shape[row_axis]
+    pc = mesh.shape[col_axis]
+    assert n % (block * pr) == 0 and n % (block * pc) == 0, (n, block, pr, pc)
+    nblocks = n // block
+    lbr = nblocks // pr
+    lbc = nblocks // pc
+    m_loc = lbr * block
+    nc_loc = lbc * block
+    cols_iota = jnp.arange(n, dtype=_i32)
+    ex = 2 * block
+
+    def body(a_loc):
+        r = jax.lax.axis_index(row_axis)
+        c = jax.lax.axis_index(col_axis)
+        gi = jnp.arange(lbr, dtype=_i32) * pr + r
+        gj = jnp.arange(lbc, dtype=_i32) * pc + c
+        grow = (gi[:, None] * block
+                + jnp.arange(block, dtype=_i32)[None, :]).reshape(-1)
+        gcol = (gj[:, None] * block
+                + jnp.arange(block, dtype=_i32)[None, :]).reshape(-1)
+
+        def panel_step(g, st):
+            a_loc, perm, ok = st
+            k = g * block
+            pe = k + block
+            coln = g % pc
+            lc = g // pc
+
+            # --- 1. ship the panel strip to every device column
+            strip = jax.lax.dynamic_slice(a_loc, (0, lc * block),
+                                          (m_loc, block))
+            strip = jnp.where(c == coln, strip, jnp.zeros_like(strip))
+            strip = jax.lax.psum(strip, col_axis)          # (m_loc, b)
+
+            # --- 2. candidates + tournament over the row axis (redundant
+            # across device columns so every column applies the same swaps)
+            active = grow >= k
+            sel, val = _local_candidates(strip, active, block)
+            cand_vals = jnp.take(strip, sel, axis=0)
+            cand_grow = jnp.where(val, jnp.take(grow, sel), n)
+            gv = jax.lax.all_gather(cand_vals, row_axis)
+            gg = jax.lax.all_gather(cand_grow, row_axis)
+            gval = jax.lax.all_gather(val, row_axis)
+            win = _tournament(gv.reshape(-1, block), gg.reshape(-1),
+                              gval.reshape(-1), block)
+
+            # --- 3. swap bookkeeping (replicated)
+            def swapstep(j, rowat):
+                wj = win[j]
+                q = jnp.argmax(rowat == wj).astype(_i32)
+                d = k + j
+                rd, rq = rowat[d], rowat[q]
+                return rowat.at[d].set(rq).at[q].set(rd)
+
+            rowat = jax.lax.fori_loop(0, block, swapstep, cols_iota)
+            perm = jnp.take(perm, rowat)
+
+            # --- 4. per-column psum row exchange of displaced row slices
+            moved = rowat != cols_iota
+            mpos = jnp.sort(jnp.where(moved, cols_iota, n))[:ex]
+            msrc = jnp.where(mpos < n,
+                             jnp.take(rowat, jnp.minimum(mpos, n - 1)), n)
+            smask = (msrc[:, None] == grow[None, :])
+            contrib = matmul(None, smask.astype(a_loc.dtype), a_loc)
+            rows_src = jax.lax.psum(contrib, row_axis)     # (2b, nc_loc)
+            wmask = (grow[:, None] == mpos[None, :])
+            replaced = matmul(None, wmask.astype(a_loc.dtype), rows_src)
+            a_loc = jnp.where(jnp.any(wmask, axis=1)[:, None], replaced,
+                              a_loc)
+
+            # --- 5. pivot-row broadcast (per column) + w11 over columns
+            pmask = ((k + jnp.arange(block, dtype=_i32))[:, None]
+                     == grow[None, :])
+            panel_rows = jax.lax.psum(
+                matmul(None, pmask.astype(a_loc.dtype), a_loc),
+                row_axis)                                   # (b, nc_loc)
+            w11 = jax.lax.dynamic_slice(panel_rows, (0, lc * block),
+                                        (block, block))
+            w11 = jnp.where(c == coln, w11, jnp.zeros_like(w11))
+            w11 = jax.lax.psum(w11, col_axis)
+            packed11, pok = _unpivoted_lu_packed(w11)
+            ok = ok & pok
+            l11 = jnp.tril(packed11, -1) + jnp.eye(block, dtype=a_loc.dtype)
+            u11 = jnp.triu(packed11)
+            u12 = solve_unit_lower_triangular(l11, panel_rows)  # (b, nc_loc)
+            after = (gcol >= pe)[None, :]
+            u12 = jnp.where(after, u12, 0)
+            # owner row-block stores [U12 | packed11] in its pivot rows
+            newrows = jnp.where(after, u12, panel_rows)
+            incol = ((gcol >= k) & (gcol < pe))[None, :]
+            p11_local = jax.lax.dynamic_update_slice(
+                jnp.zeros_like(newrows), packed11, (0, lc * block))
+            newrows = jnp.where(incol & (c == coln), p11_local, newrows)
+            stow = matmul(None, pmask.astype(a_loc.dtype).T, newrows)
+            own_rows = jnp.any(pmask, axis=0)[:, None]      # my pivot rows
+            a_loc = jnp.where(own_rows, stow, a_loc)
+
+            # --- 6. L21 on the owner column, broadcast over pc, local GEMM
+            below = (grow >= pe)[:, None]
+            strip2 = jax.lax.dynamic_slice(a_loc, (0, lc * block),
+                                           (m_loc, block))
+            strip2 = jnp.where((c == coln) & below, strip2,
+                               jnp.zeros_like(strip2))
+            strip2 = jax.lax.psum(strip2, col_axis)
+            l21 = solve_upper_triangular_on_right(u11, strip2)
+            upd = matmul(None, l21, u12)
+            a_loc = jnp.where(below, a_loc - upd, a_loc)
+            # owner column stores L21 in the panel columns
+            l21_store = jax.lax.dynamic_update_slice(
+                jnp.zeros_like(a_loc), l21, (0, lc * block))
+            put = below & incol & (c == coln)
+            a_loc = jnp.where(put, l21_store, a_loc)
+            return a_loc, perm, ok
+
+        return jax.lax.fori_loop(0, nblocks, panel_step,
+                                 (a_loc, cols_iota, jnp.ones((), bool)))
+
+    from faer_tpu.core.config import platform_scope
+
+    a2 = _cyclic_to_local(a, nblocks, pc, block)
+    a2 = _cyclic_rows_to_local(a2, nblocks, pr, block)
+    fn = _shard_map(body, mesh, P(row_axis, col_axis),
+                    (P(row_axis, col_axis), P(), P()))
+    with platform_scope(mesh.devices.flat[0].platform):
+        out_local, perm, ok = fn(a2)
+    lu = _local_rows_to_cyclic(out_local, nblocks, pr, block)
+    lu = _local_to_cyclic(lu, nblocks, pc, block)
+    return lu, perm, ok
+
+
 def block_cyclic_lu_solve(lu, perm, b_rhs, mesh: Mesh | None = None, *,
                           axis: str = "p", block: int = 64):
     """Solve from the distributed LU factor; distributed block substitution

@@ -169,3 +169,23 @@ def test_block_cyclic_llt_2d():
     ln = np.asarray(l, np.float64)
     rec = np.abs(ln @ ln.T - np.asarray(a, np.float64)).max()
     assert rec < 1e-4, rec
+
+
+def test_block_cyclic_lu_2d():
+    """2-D block-cyclic tournament LU (pdgetrf structure) on a 2x4 CPU mesh."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from faer_tpu.parallel.distributed import block_cyclic_lu_2d
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("pr", "pc"))
+    n = 128
+    a = jax.random.normal(jax.random.key(10), (n, n), jnp.float32)
+    lu, perm, ok = block_cyclic_lu_2d(a, mesh, block=16)
+    assert bool(ok)
+    lun = np.asarray(lu, np.float64)
+    an = np.asarray(a, np.float64)
+    l = np.tril(lun, -1) + np.eye(n)
+    rec = np.abs(l @ np.triu(lun) - an[np.asarray(perm)]).max()
+    assert rec < 1e-4, rec
