@@ -383,12 +383,21 @@ def qr_inverse(packed, t_stack, block: int):
 def col_piv_qr_in_place(a, params: ColPivQrParams | None = None):
     """Column-pivoted Householder QR: returns ``(packed, taus, col_perm)``.
 
-    ``A[:, col_perm] = Q R``. Unblocked masked ``fori_loop`` with trailing
-    column-norm argmax per step (norms recomputed exactly — the downdate
-    recurrence of LAPACK geqp3 trades accuracy for FLOPs; on TPU the exact
-    recompute is one fused reduction).
+    ``A[:, col_perm] = Q R``.  Blocked LAPACK-``geqp3`` structure (faer
+    ``col_pivoting/factor.rs:345``): within a panel each step does ONE
+    trailing matvec (the F-update) plus the pivot-row norm DOWNDATE; the
+    rank-b trailing update runs once per panel on the MXU, followed by an
+    exact trailing-norm recompute (bounding downdate drift to one panel).
     """
     del params
+    m, n = a.shape
+    kmax = min(m, n)
+    if kmax <= 64 or n <= 64:
+        return _col_piv_qr_unblocked(a)
+    return _col_piv_qr_blocked(a, 64)
+
+
+def _col_piv_qr_unblocked(a):
     m, n = a.shape
     kmax = min(m, n)
     rdt = dtypes.real_dtype_of(a.dtype)
@@ -408,6 +417,94 @@ def col_piv_qr_in_place(a, params: ColPivQrParams | None = None):
 
     init = (a, jnp.zeros((kmax,), a.dtype), jnp.arange(n, dtype=jnp.int32))
     a, taus, perm = jax.lax.fori_loop(0, kmax, body, init)
+    return a, taus, perm
+
+
+def _col_piv_qr_blocked(a, block: int):
+    m, n = a.shape
+    kmax = min(m, n)
+    dtype = a.dtype
+    rdt = dtypes.real_dtype_of(dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]
+    taus = jnp.zeros((kmax,), dtype)
+    perm = jnp.arange(n, dtype=jnp.int32)
+    norms = jnp.sum(jnp.abs(a).astype(rdt) ** 2, axis=0)
+
+    k0 = 0
+    while k0 < kmax:
+        bw = min(block, kmax - k0)
+        cols_b = jax.lax.broadcasted_iota(jnp.int32, (1, bw), 1)[0]
+
+        def panel_step(i, st, k0=k0, bw=bw, cols_b=cols_b):
+            a, v_p, f_p, norms, taus, perm = st
+            j = k0 + i
+            # pivot by downdated trailing norms
+            p = jnp.argmax(jnp.where(cols >= j, norms, -1.0)).astype(jnp.int32)
+            a = permod.swap_cols(a, j, p)
+            f_p = permod.swap_rows(f_p, j, p)
+            norms = permod.swap_rows(norms, j, p)
+            perm = permod.swap_rows(perm, j, p)
+            # virtual column j: c = (A − V Fᴴ) e_j
+            col = jax.lax.dynamic_slice(a, (0, j), (m, 1))[:, 0]
+            frow = jnp.conj(jax.lax.dynamic_slice(f_p, (j, 0), (1, bw))[0])
+            c = col - matmul(None, v_p, frow[:, None])[:, 0]
+            # Householder at row j
+            on = rows == j
+            below = rows > j
+            alpha = jnp.sum(jnp.where(on, c, jnp.zeros_like(c)))
+            tail_sq = jnp.sum(jnp.where(below, jnp.abs(c).astype(rdt) ** 2, 0))
+            norm_ = jnp.sqrt(jnp.abs(alpha).astype(rdt) ** 2 + tail_sq)
+            sign = jnp.where(jnp.real(alpha) >= 0, jnp.ones((), rdt),
+                             -jnp.ones((), rdt))
+            beta = (-sign * norm_).astype(dtype)
+            if dtypes.is_complex(dtype):
+                is_id = (tail_sq == 0) & (jnp.imag(alpha) == 0)
+            else:
+                is_id = tail_sq == 0
+            s = alpha - beta
+            safe_s = jnp.where(is_id, jnp.ones((), dtype), s)
+            safe_b = jnp.where(is_id, jnp.ones((), dtype), beta)
+            tau = jnp.where(is_id, jnp.zeros((), dtype),
+                            (beta - alpha) / safe_b)
+            beta = jnp.where(is_id, alpha, beta)
+            v = jnp.where(below, c / safe_s, jnp.zeros_like(c))
+            v = jnp.where(is_id, jnp.zeros_like(v), v)
+            v = v + jnp.where(on, jnp.ones_like(v), jnp.zeros_like(v))
+            # packed column j: final head + beta + reflector tail
+            newcol = jnp.where(on, beta, jnp.where(below, v, c))
+            a = jax.lax.dynamic_update_slice(a, newcol[:, None], (0, j))
+            taus = taus.at[j].set(tau)
+            # F column: w = conj(τ) vᴴ (A − V Fᴴ);  F[:, i] = wᴴ
+            vh = jnp.conj(v)[None, :]
+            wrow = matmul(None, vh, a)[0] \
+                - matmul(None, matmul(None, vh, v_p), jnp.conj(f_p).T)[0]
+            wrow = jnp.conj(tau) * wrow
+            live = cols_b == i
+            v_p = jnp.where(live[None, :], v[:, None], v_p)
+            f_p = jnp.where(live[None, :], jnp.conj(wrow)[:, None], f_p)
+            # norm downdate with the pivot row of the updated matrix
+            arow = jax.lax.dynamic_slice(a, (j, 0), (1, n))[0]
+            vrow = jax.lax.dynamic_slice(v_p, (j, 0), (1, bw))[0]
+            arow = arow - matmul(None, vrow[None, :], jnp.conj(f_p).T)[0]
+            norms = jnp.where(cols > j,
+                              jnp.maximum(norms - jnp.abs(arow).astype(rdt) ** 2,
+                                          0.0),
+                              norms)
+            return a, v_p, f_p, norms, taus, perm
+
+        v0 = jnp.zeros((m, bw), dtype)
+        f0 = jnp.zeros((n, bw), dtype)
+        a, v_p, f_p, norms, taus, perm = jax.lax.fori_loop(
+            0, bw, panel_step, (a, v0, f0, norms, taus, perm))
+        # trailing update (one GEMM) on columns beyond the panel
+        upd = matmul(None, v_p, jnp.conj(f_p).T)
+        done = cols < k0 + bw
+        a = jnp.where(done[None, :], a, a - upd)
+        k0 += bw
+        # exact trailing norms: bounds the downdate drift to one panel
+        norms = jnp.sum(jnp.where((rows >= k0)[:, None],
+                                  jnp.abs(a).astype(rdt) ** 2, 0), axis=0)
     return a, taus, perm
 
 
