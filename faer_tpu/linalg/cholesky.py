@@ -264,7 +264,16 @@ def piv_llt_factor(a):
     ``A[perm][:, perm] = L Lᴴ``. faer ``llt_pivoting/factor.rs:199`` (LAPACK
     pstrf-style). Stops contributing once the remaining diagonal drops below
     ``n·eps·max(diag)`` — those columns are zeroed and excluded from rank.
+    Blocked (pstrf) at n > 64: per step one O(n·b) virtual column + a diag
+    downdate; the rank-b trailing update runs once per panel on the MXU.
     """
+    if a.shape[0] > 64:
+        return _piv_llt_blocked(a, 64)
+    return _piv_llt_unblocked(a)
+
+
+@jax.jit
+def _piv_llt_unblocked(a):
     n = a.shape[0]
     rdt = dtypes.real_dtype_of(a.dtype)
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
@@ -298,6 +307,75 @@ def piv_llt_factor(a):
     init = (a, jnp.arange(n, dtype=jnp.int32), jnp.zeros((), jnp.int32),
             jnp.zeros((), jnp.int32))
     a, perm, rank, count = jax.lax.fori_loop(0, n, body, init)
+    info = LltInfo(dynamic_regularization_count=count, success=count == 0)
+    return jnp.tril(a), perm, rank, info
+
+
+def _piv_llt_blocked(a, block: int):
+    """pstrf panels: deferred trailing updates, downdated pivot diagonal."""
+    n = a.shape[0]
+    dtype = a.dtype
+    rdt = dtypes.real_dtype_of(dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    a = jnp.tril(a)
+    a = a + jnp.conj(jnp.tril(a, -1)).T
+    tol = jnp.asarray(n, rdt) * dtypes.eps(dtype) * jnp.max(
+        jnp.maximum(jnp.real(jnp.diagonal(a)).astype(rdt), 0))
+    perm = jnp.arange(n, dtype=jnp.int32)
+    rank = jnp.zeros((), jnp.int32)
+    count = jnp.zeros((), jnp.int32)
+    diag_v = jnp.real(jnp.diagonal(a)).astype(rdt)
+
+    k0 = 0
+    while k0 < n:
+        bw = min(block, n - k0)
+        cols_b = jax.lax.broadcasted_iota(jnp.int32, (1, bw), 1)[0]
+
+        def step(i, st, k0=k0, bw=bw, cols_b=cols_b):
+            a, v_p, diag_v, perm, rank, count = st
+            j = k0 + i
+            p = jnp.argmax(jnp.where(rows >= j, diag_v, -jnp.inf)).astype(
+                jnp.int32)
+            a = permod.swap_rows(a, j, p)
+            a = permod.swap_cols(a, j, p)
+            v_p = permod.swap_rows(v_p, j, p)
+            diag_v = permod.swap_rows(diag_v, j, p)
+            perm = permod.swap_rows(perm, j, p)
+            # virtual column: c = (A − V Vᴴ) e_j for this panel's reflectors
+            col = jax.lax.dynamic_slice(a, (0, j), (n, 1))[:, 0]
+            vrow = jnp.conj(jax.lax.dynamic_slice(v_p, (j, 0), (1, bw))[0])
+            c = col - matmul(None, v_p, vrow[:, None])[:, 0]
+            pj = jnp.sum(jnp.where(rows == j, jnp.real(c).astype(rdt), 0))
+            alive = pj > tol
+            rank = rank + jnp.where(alive, 1, 0)
+            count = count + jnp.where(alive, 0, 1)
+            piv = jnp.sqrt(jnp.where(alive, pj, jnp.ones((), rdt))).astype(dtype)
+            lcol = jnp.where(rows > j, c / piv, c)
+            lcol = jnp.where(rows == j, piv, lcol)
+            lcol = jnp.where(alive, lcol,
+                             jnp.where(rows >= j, jnp.zeros_like(lcol), lcol))
+            # no mirror-row write (unlike the unblocked form): the trailing
+            # block keeps its ORIGINAL Hermitian values until the panel-end
+            # GEMM, so a mirror of L here would double-count with the V-term
+            a = jax.lax.dynamic_update_slice(a, lcol[:, None], (0, j))
+            live = cols_b == i
+            vstore = jnp.where(rows >= j, lcol, jnp.zeros_like(lcol))
+            v_p = jnp.where(live[None, :], vstore[:, None], v_p)
+            diag_v = jnp.where(rows > j,
+                               diag_v - jnp.abs(vstore).astype(rdt) ** 2,
+                               diag_v)
+            return a, v_p, diag_v, perm, rank, count
+
+        v0 = jnp.zeros((n, bw), dtype)
+        a, v_p, diag_v, perm, rank, count = jax.lax.fori_loop(
+            0, bw, step, (a, v0, diag_v, perm, rank, count))
+        end = k0 + bw
+        if end < n:
+            upd = matmul(None, v_p, jnp.conj(v_p).T)
+            trail = (rows >= end)[:, None] & (rows >= end)[None, :]
+            a = jnp.where(trail, a - upd, a)
+            diag_v = jnp.real(jnp.diagonal(a)).astype(rdt)
+        k0 = end
     info = LltInfo(dynamic_regularization_count=count, success=count == 0)
     return jnp.tril(a), perm, rank, info
 
