@@ -83,6 +83,25 @@ def llt_solve_pair(l_pair, br, bi):
     return extract_rhs(x2)
 
 
+@jax.jit
+def ldlt_factor_pair(ar, ai):
+    """Pair LDLT (Hermitian, no pivoting) via the same embedding argument:
+    ``ldlt(embed(C)) = embed(ldlt(C))`` (unit-lower L unique, D real).
+    Returns ``((ldr, ldi), info)`` in the packed L\\D convention."""
+    from faer_tpu.linalg.cholesky import ldlt_factor
+
+    ld2, info = ldlt_factor(embed_pair(ar, ai))
+    return extract_pair(ld2), info
+
+
+@jax.jit
+def ldlt_solve_pair(ld_pair, br, bi):
+    from faer_tpu.linalg.cholesky import ldlt_solve
+
+    x2 = ldlt_solve(embed_pair(*ld_pair), embed_rhs(br, bi))
+    return extract_rhs(x2)
+
+
 # ---------------------------------------------------------------------------
 # pair Householder machinery (shared by QR / bidiag)
 # ---------------------------------------------------------------------------

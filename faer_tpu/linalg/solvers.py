@@ -188,10 +188,24 @@ class Ldlt:
 
     @staticmethod
     def new(a, side: Side = Side.LOWER) -> "Ldlt":
+        ap, is_pair = _split_complex_if_needed(a)
+        if is_pair:
+            from faer_tpu.linalg import factor_cpair as _fc
+
+            ar, ai = ap
+            if side is not Side.LOWER:
+                ar, ai = ar.T, -ai.T
+            ld, info = _fc.ldlt_factor_pair(ar, ai)
+            return Ldlt(ld=ld, info=info)
         ld, info = _ch.ldlt_factor(_lower_of(a, side))
         return Ldlt(ld=ld, info=info)
 
     def solve(self, rhs):
+        if isinstance(self.ld, tuple):
+            from faer_tpu.linalg import factor_cpair as _fc
+
+            bp, _ = _split_complex_if_needed(rhs, force=True)
+            return _pair_to_host(_fc.ldlt_solve_pair(self.ld, *bp))
         return _ch.ldlt_solve(self.ld, _unmat(rhs))
 
     def inverse(self):

@@ -119,3 +119,24 @@ def test_solver_objects_pair_backed(rng):
     sref = np.linalg.svd(g, compute_uv=False)
     assert np.abs(np.asarray(fsvd.S, np.float64) - sref).max() < 1e-3 * sref[0]
     assert np.abs(fsvd.reconstruct() - g).max() < 1e-3 * np.abs(g).max()
+
+
+def _pair64(c):
+    return jnp.asarray(c.real, jnp.float64), jnp.asarray(c.imag, jnp.float64)
+
+
+def test_ldlt_pair_embedding(rng):
+    # f64 pairs: no-pivot LDLT on an INDEFINITE matrix amplifies by the
+    # growth factor (same contract as faer's unpivoted LDLT — f32-indefinite
+    # callers should use Bunch-Kaufman)
+    n = 72
+    c = _mk(rng, n, n)
+    herm = (c + c.conj().T) / 2 + 0j        # indefinite Hermitian
+    ld, info = fc.ldlt_factor_pair(*_pair64(herm))
+    b = _mk(rng, n, 2)
+    x = fc.ldlt_solve_pair(ld, *_pair64(b))
+    assert np.abs(herm @ _host(x) - b).max() < 1e-6
+
+    f = solvers.Ldlt.new(_pair64(herm))
+    x2 = f.solve(_pair64(b))
+    assert np.abs(herm @ x2 - b).max() < 1e-6
