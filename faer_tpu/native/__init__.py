@@ -43,6 +43,14 @@ def _load():
         lib.faer_col_counts.argtypes = [ctypes.c_int64, i64p, i64p, i64p, i64p]
         lib.faer_l_pattern.argtypes = [ctypes.c_int64, i64p, i64p, i64p, i64p, i64p]
         lib.faer_amd_order.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.faer_chol_numeric.argtypes = [ctypes.c_int64, i64p, i64p, f64p,
+                                          i64p, i64p, f64p, ctypes.c_int64]
+        lib.faer_chol_numeric.restype = ctypes.c_int64
+        lib.faer_lower_solve.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                         i64p, i64p, f64p, f64p,
+                                         ctypes.c_int64]
+        lib.faer_lower_transpose_solve.argtypes = lib.faer_lower_solve.argtypes
         _lib = lib
         return _lib
 
@@ -78,6 +86,43 @@ def l_pattern(n: int, col_ptr: np.ndarray, row_idx: np.ndarray,
     lib.faer_l_pattern(n, cp, ri, pa, lptr, lrows)
     # rows within a column arrive in increasing i already (diagonal first)
     return lptr, lrows
+
+
+def chol_numeric(n: int, aptr, arow, aval, lptr, lrow, *, ldlt: bool = False):
+    """Left-looking simplicial LLT/LDLT numeric in C++ (f64 real values).
+    Returns lval, or None when the native lib is unavailable; raises
+    ValueError on a non-positive LLT pivot."""
+    lib = _load()
+    if lib is None or np.iscomplexobj(aval):
+        return None
+    lval = np.zeros(int(lptr[-1]), dtype=np.float64)
+    rc = lib.faer_chol_numeric(
+        n, np.ascontiguousarray(aptr, np.int64),
+        np.ascontiguousarray(arow, np.int64),
+        np.ascontiguousarray(aval, np.float64),
+        np.ascontiguousarray(lptr, np.int64),
+        np.ascontiguousarray(lrow, np.int64), lval, 1 if ldlt else 0)
+    if rc != 0:
+        raise ValueError(f"non-positive pivot at column {int(rc) - 1}")
+    return lval
+
+
+def lower_solve(n, lptr, lrow, lval, b, *, unit: bool = False,
+                transpose: bool = False):
+    """CSC (unit-)lower triangular solve in C++; returns x or None."""
+    lib = _load()
+    if lib is None or np.iscomplexobj(lval) or np.iscomplexobj(b):
+        return None
+    squeeze = b.ndim == 1
+    x = np.asfortranarray(np.asarray(b, np.float64).reshape(n, -1))
+    # fortran layout = column-major contiguous per RHS
+    xc = np.ascontiguousarray(x.T).reshape(-1)
+    fn = lib.faer_lower_transpose_solve if transpose else lib.faer_lower_solve
+    fn(n, x.shape[1], np.ascontiguousarray(lptr, np.int64),
+       np.ascontiguousarray(lrow, np.int64),
+       np.ascontiguousarray(lval, np.float64), xc, 1 if unit else 0)
+    out = xc.reshape(x.shape[1], n).T
+    return out[:, 0] if squeeze else out
 
 
 def amd_order(n: int, col_ptr: np.ndarray, row_idx: np.ndarray):

@@ -16,6 +16,7 @@
 #include <algorithm>
 #include <queue>
 #include <cstring>
+#include <cmath>
 
 extern "C" {
 
@@ -185,6 +186,117 @@ void faer_amd_order(int64_t n, const int64_t* col_ptr, const int64_t* row_idx,
                 degree[u] = newd;
                 heap.push({newd, u});
             }
+        }
+    }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// numeric kernels (round 3): simplicial LLT/LDLT + CSC triangular solves.
+// The host-Python per-column orchestration was the sparse numeric wall-time
+// floor (BENCH_NOTES round-3 table); these mirror faer's simplicial numeric
+// (faer/src/sparse/linalg/cholesky.rs simplicial mod :501) in C++.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Left-looking simplicial LLT over the precomputed L pattern.
+// A (permuted, lower triangle) in CSC; L pattern in (lptr, lrow) with rows
+// ascending, diagonal first. Writes lval. Returns 0 on success or (j+1) for
+// the first non-positive pivot column j. If ldlt != 0, computes unit-L LDLT
+// (diagonal of B stored on the L diagonal slots) and never fails on sign.
+int64_t faer_chol_numeric(int64_t n, const int64_t* aptr, const int64_t* arow,
+                          const double* aval, const int64_t* lptr,
+                          const int64_t* lrow, double* lval, int64_t ldlt) {
+    // transpose pass: for each row i, the (i, k) entries with k < i
+    std::vector<int64_t> rcnt(n + 1, 0);
+    for (int64_t k = 0; k < n; ++k)
+        for (int64_t p = lptr[k]; p < lptr[k + 1]; ++p)
+            if (lrow[p] > k) rcnt[lrow[p] + 1]++;
+    std::vector<int64_t> rptr(n + 1, 0);
+    for (int64_t i = 0; i < n; ++i) rptr[i + 1] = rptr[i] + rcnt[i + 1];
+    std::vector<int64_t> rcol(rptr[n]), rpos(rptr[n]);
+    {
+        std::vector<int64_t> fill(rptr.begin(), rptr.end() - 1);
+        for (int64_t k = 0; k < n; ++k)
+            for (int64_t p = lptr[k]; p < lptr[k + 1]; ++p) {
+                int64_t i = lrow[p];
+                if (i > k) { rcol[fill[i]] = k; rpos[fill[i]] = p; fill[i]++; }
+            }
+    }
+    std::vector<double> work(n, 0.0);
+    std::vector<double> diag(ldlt ? n : 0);   // B diagonal for LDLT
+    for (int64_t j = 0; j < n; ++j) {
+        for (int64_t p = aptr[j]; p < aptr[j + 1]; ++p) work[arow[p]] = aval[p];
+        for (int64_t t = rptr[j]; t < rptr[j + 1]; ++t) {
+            int64_t k = rcol[t];
+            double ljk = lval[rpos[t]];
+            if (ljk == 0.0) continue;
+            double scale = ldlt ? ljk * diag[k] : ljk;
+            // rows >= j of column k start exactly at the (j, k) entry
+            for (int64_t p = rpos[t]; p < lptr[k + 1]; ++p)
+                work[lrow[p]] -= scale * lval[p];
+        }
+        double dj = work[j];
+        int64_t rj0 = lptr[j], rj1 = lptr[j + 1];
+        if (ldlt) {
+            if (dj == 0.0) dj = 1e-300;      // caller checks |d| downstream
+            diag[j] = dj;
+            lval[rj0] = dj;
+            for (int64_t p = rj0 + 1; p < rj1; ++p) {
+                lval[p] = work[lrow[p]] / dj;
+                work[lrow[p]] = 0.0;
+            }
+        } else {
+            if (dj <= 0.0) return j + 1;
+            double piv = std::sqrt(dj);
+            lval[rj0] = piv;
+            for (int64_t p = rj0 + 1; p < rj1; ++p) {
+                lval[p] = work[lrow[p]] / piv;
+                work[lrow[p]] = 0.0;
+            }
+        }
+        work[j] = 0.0;
+    }
+    return 0;
+}
+
+// CSC lower-triangular solves, k right-hand sides (column-major b, n x k).
+// unit != 0 treats the diagonal as 1 (packed LDLT convention skips it).
+void faer_lower_solve(int64_t n, int64_t k, const int64_t* lptr,
+                      const int64_t* lrow, const double* lval, double* b,
+                      int64_t unit) {
+    for (int64_t c = 0; c < k; ++c) {
+        double* x = b + c * n;
+        for (int64_t j = 0; j < n; ++j) {
+            double xj = x[j];
+            if (!unit)
+                for (int64_t p = lptr[j]; p < lptr[j + 1]; ++p)
+                    if (lrow[p] == j) { xj /= lval[p]; break; }
+            x[j] = xj;
+            if (xj != 0.0)
+                for (int64_t p = lptr[j]; p < lptr[j + 1]; ++p)
+                    if (lrow[p] > j) x[lrow[p]] -= lval[p] * xj;
+        }
+    }
+}
+
+// x = L^T \ b (CSC L, so the transpose solve walks columns backwards).
+void faer_lower_transpose_solve(int64_t n, int64_t k, const int64_t* lptr,
+                                const int64_t* lrow, const double* lval,
+                                double* b, int64_t unit) {
+    for (int64_t c = 0; c < k; ++c) {
+        double* x = b + c * n;
+        for (int64_t j = n - 1; j >= 0; --j) {
+            double s = x[j];
+            double d = 1.0;
+            for (int64_t p = lptr[j]; p < lptr[j + 1]; ++p) {
+                int64_t i = lrow[p];
+                if (i > j) s -= lval[p] * x[i];
+                else if (i == j) d = lval[p];
+            }
+            x[j] = unit ? s : s / d;
         }
     }
 }

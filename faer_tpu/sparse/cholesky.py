@@ -155,6 +155,15 @@ def factorize_numeric_llt(symb: SymbolicCholesky, a: SparseCscMat):
     ap = permute_self_adjoint(a, symb.perm)
     n = symb.n
     ls = symb.l_symbolic
+    # native C++ numeric fast path (real f64): ~SuperLU-class wall time
+    if not np.iscomplexobj(ap.values) and ap.values.dtype == np.float64:
+        from faer_tpu import native
+
+        lv = native.chol_numeric(n, ap.symbolic.col_ptr,
+                                 ap.symbolic.row_idx, ap.values,
+                                 ls.col_ptr, ls.row_idx)
+        if lv is not None:
+            return SparseCscMat(ls, lv)
     lvals = np.zeros(ls.nnz, dtype=ap.values.dtype)
     # dense work column + position lookup per column of L
     pos = {}
@@ -236,6 +245,20 @@ def factorize_numeric_ldlt(symb: SymbolicCholesky, a: SparseCscMat, *,
     n = symb.n
     ls = symb.l_symbolic
     dtype = ap.values.dtype
+    # native C++ fast path when no regularization semantics are requested
+    if (regularization_delta == 0.0 and not np.iscomplexobj(ap.values)
+            and ap.values.dtype == np.float64):
+        from faer_tpu import native
+
+        lv = native.chol_numeric(n, ap.symbolic.col_ptr, ap.symbolic.row_idx,
+                                 ap.values, ls.col_ptr, ls.row_idx, ldlt=True)
+        if lv is not None:
+            dn = lv[ls.col_ptr[:-1]]
+            if np.any(dn == 0) or np.any(np.abs(dn) <= 1e-290):
+                raise ValueError("zero pivot in LDLT (regularization off)")
+            lvu = lv.copy()
+            lvu[ls.col_ptr[:-1]] = 1.0
+            return SparseCscMat(ls, lvu), dn
     lvals = np.zeros(ls.nnz, dtype=dtype)
     d = np.zeros(n, dtype=ap.values.real.dtype)
     pos = {}

@@ -217,18 +217,11 @@ def permute_self_adjoint(a: SparseCscMat, perm: np.ndarray) -> SparseCscMat:
     n = s.ncols
     iperm = np.empty(n, dtype=np.int64)
     iperm[perm] = np.arange(n, dtype=np.int64)
-    rows, cols, vals = [], [], []
-    for j in range(n):
-        for p in range(int(s.col_ptr[j]), int(s.col_ptr[j + 1])):
-            i = s.row_idx[p]
-            ni, nj = iperm[i], iperm[j]
-            if ni < nj:
-                ni, nj = nj, ni  # keep lower triangle
-                v = np.conj(a.values[p])
-            else:
-                v = a.values[p]
-            rows.append(ni)
-            cols.append(nj)
-            vals.append(v)
-    return SparseCscMat.from_triplets(n, n, np.array(rows), np.array(cols),
-                                      np.array(vals))
+    col_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(s.col_ptr))
+    ni = iperm[s.row_idx]
+    nj = iperm[col_of]
+    flip = ni < nj                      # keep lower triangle (conj on flip)
+    rows = np.where(flip, nj, ni)
+    cols = np.where(flip, ni, nj)
+    vals = np.where(flip, np.conj(a.values), a.values)
+    return SparseCscMat.from_triplets(n, n, rows, cols, vals)

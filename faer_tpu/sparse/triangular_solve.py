@@ -28,11 +28,24 @@ def levels_lower(l: SparseCscMat) -> np.ndarray:
     return level
 
 
+def _native_ok(l: SparseCscMat, b, unit: bool) -> bool:
+    del unit
+    return not (np.iscomplexobj(l.values) or np.iscomplexobj(np.asarray(b)))
+
+
 def solve_lower_triangular(l: SparseCscMat, b, *, unit: bool = False,
                            conj: bool = False):
     """x = L⁻¹ b, L lower-triangular CSC (diag present unless unit)."""
     s = l.symbolic
     n = s.ncols
+    if not conj and _native_ok(l, b, unit):
+        from faer_tpu import native
+
+        out = native.lower_solve(n, s.col_ptr, s.row_idx, l.values,
+                                 np.asarray(b), unit=unit)
+        if out is not None:
+            return out.astype(np.result_type(l.values.dtype,
+                                             np.asarray(b).dtype))
     x = np.array(b, dtype=np.result_type(l.values.dtype, np.asarray(b).dtype),
                  copy=True)
     vals = np.conj(l.values) if conj else l.values
@@ -81,6 +94,14 @@ def solve_lower_triangular_transpose(l: SparseCscMat, b, *, unit: bool = False,
     """x = L⁻ᵀ b (or L⁻ᴴ with conj): dot-product form over columns, reversed."""
     s = l.symbolic
     n = s.ncols
+    if not conj and _native_ok(l, b, unit):
+        from faer_tpu import native
+
+        out = native.lower_solve(n, s.col_ptr, s.row_idx, l.values,
+                                 np.asarray(b), unit=unit, transpose=True)
+        if out is not None:
+            return out.astype(np.result_type(l.values.dtype,
+                                             np.asarray(b).dtype))
     x = np.array(b, dtype=np.result_type(l.values.dtype, np.asarray(b).dtype),
                  copy=True)
     vals = np.conj(l.values) if conj else l.values
