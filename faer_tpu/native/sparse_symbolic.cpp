@@ -155,6 +155,28 @@ void faer_amd_order(int64_t n, const int64_t* col_ptr, const int64_t* row_idx,
         elem_alive.push_back(1);
         // mark boundary for fast pruning
         for (int64_t u : bound) stamp[u] = eid;
+        // Amestoy-Davis-Duff approximate degrees: one w(e) = |Le \ Lp|
+        // sweep per PIVOT (not the exact union per boundary vertex, which
+        // made ordering quadratic on grid graphs)
+        static thread_local std::vector<int64_t> wkey, wval;
+        if ((int64_t)wkey.size() < (int64_t)elem_bound.size() + 1) {
+            wkey.resize(elem_bound.size() + 4096, -1);
+            wval.resize(elem_bound.size() + 4096, 0);
+        }
+        for (int64_t u : bound) {
+            for (int64_t e : var_elems[u]) {
+                if (!elem_alive[e]) continue;
+                if (wkey[e] != eid) {
+                    auto& eb = elem_bound[e];
+                    eb.erase(std::remove_if(eb.begin(), eb.end(),
+                                            [&](int64_t w) { return !alive[w]; }),
+                             eb.end());
+                    wkey[e] = eid;
+                    wval[e] = (int64_t)eb.size();
+                }
+                wval[e]--;                   // u ∈ Le ∩ Lp
+            }
+        }
         for (int64_t u : bound) {
             // prune direct adjacency: drop v and anything in bound
             auto& au = adj[u];
@@ -166,21 +188,11 @@ void faer_amd_order(int64_t n, const int64_t* col_ptr, const int64_t* row_idx,
             eu.erase(std::remove_if(eu.begin(), eu.end(), [&](int64_t e) {
                 return !elem_alive[e];
             }), eu.end());
+            // d(u) ≈ |A_u \ Lp| + |Lp \ u| + Σ_e |Le \ Lp|
+            int64_t approx = (int64_t)au.size() + (int64_t)bound.size() - 1;
+            for (int64_t e : eu)
+                approx += (wkey[e] == eid && wval[e] > 0) ? wval[e] : 0;
             eu.push_back(eid);
-            // approximate external degree
-            int64_t approx = (int64_t)au.size();
-            // seen-set via stamping; the key is a monotone thread-local
-            // counter so stamps left by a previous matrix can never collide
-            static thread_local std::vector<int64_t> seen_stamp;
-            static thread_local int64_t stamp_counter = 0;
-            if ((int64_t)seen_stamp.size() < n) seen_stamp.assign(n, -1);
-            int64_t key = ++stamp_counter;
-            for (int64_t e : eu) {
-                for (int64_t w : elem_bound[e]) {
-                    if (!alive[w] || w == u) continue;
-                    if (seen_stamp[w] != key) { seen_stamp[w] = key; ++approx; }
-                }
-            }
             int64_t newd = std::min(n - k - 1, approx);
             if (newd != degree[u]) {
                 degree[u] = newd;
