@@ -51,6 +51,10 @@ def _load():
                                          i64p, i64p, f64p, f64p,
                                          ctypes.c_int64]
         lib.faer_lower_transpose_solve.argtypes = lib.faer_lower_solve.argtypes
+        lib.faer_gp_lu.argtypes = [ctypes.c_int64, i64p, i64p, f64p, i64p,
+                                   ctypes.c_double, ctypes.c_int64,
+                                   i64p, i64p, f64p, i64p, i64p, f64p, i64p]
+        lib.faer_gp_lu.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -105,6 +109,40 @@ def chol_numeric(n: int, aptr, arow, aval, lptr, lrow, *, ldlt: bool = False):
     if rc != 0:
         raise ValueError(f"non-positive pivot at column {int(rc) - 1}")
     return lval
+
+
+def gp_lu(n: int, aptr, arow, aval, col_perm, *, pivot_threshold: float = 1.0):
+    """Gilbert-Peierls LU numeric in C++ (f64 real).  Returns
+    ``(lptr, lrow_orig, lval, uptr, urow, uval, rowperm)`` — L rows are
+    ORIGINAL row ids (caller remaps), U rows are pivot positions — or None
+    when the native lib is unavailable; raises on singularity."""
+    lib = _load()
+    if lib is None or np.iscomplexobj(aval):
+        return None
+    aptr = np.ascontiguousarray(aptr, np.int64)
+    arow = np.ascontiguousarray(arow, np.int64)
+    aval = np.ascontiguousarray(aval, np.float64)
+    cp = np.ascontiguousarray(col_perm, np.int64)
+    cap = max(8 * aval.size, 16 * n)
+    for _ in range(8):
+        lptr = np.zeros(n + 1, dtype=np.int64)
+        uptr = np.zeros(n + 1, dtype=np.int64)
+        lrow = np.empty(cap, dtype=np.int64)
+        lval = np.empty(cap, dtype=np.float64)
+        urow = np.empty(cap, dtype=np.int64)
+        uval = np.empty(cap, dtype=np.float64)
+        rowperm = np.empty(n, dtype=np.int64)
+        rc = lib.faer_gp_lu(n, aptr, arow, aval, cp,
+                            float(pivot_threshold), cap,
+                            lptr, lrow, lval, uptr, urow, uval, rowperm)
+        if rc == 0:
+            nl, nu = int(lptr[-1]), int(uptr[-1])
+            return (lptr, lrow[:nl], lval[:nl], uptr, urow[:nu], uval[:nu],
+                    rowperm)
+        if rc > 0:
+            raise ValueError(f"singular at column {int(rc) - 1}")
+        cap = max(int(-rc), cap * 2)
+    return None  # pragma: no cover - capacity runaway
 
 
 def lower_solve(n, lptr, lrow, lval, b, *, unit: bool = False,

@@ -314,3 +314,116 @@ void faer_lower_transpose_solve(int64_t n, int64_t k, const int64_t* lptr,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Gilbert-Peierls sparse LU with threshold partial pivoting (the simplicial
+// numeric of faer/src/sparse/linalg/lu.rs:1331, in C++ for host wall time).
+// L columns carry ORIGINAL row ids (caller remaps to pivot order); U columns
+// carry pivot positions (ascending not guaranteed; caller sorts).
+// Returns 0 on success, j+1 if column j is singular, or -(needed_capacity)
+// when cap is too small (caller retries).
+int64_t faer_gp_lu(int64_t n, const int64_t* aptr, const int64_t* arow,
+                   const double* aval, const int64_t* colperm,
+                   double pivot_threshold, int64_t cap,
+                   int64_t* lptr, int64_t* lrow, double* lval,
+                   int64_t* uptr, int64_t* urow, double* uval,
+                   int64_t* rowperm) {
+    std::vector<int64_t> pinv(n, -1);
+    std::vector<double> x(n, 0.0);
+    std::vector<int64_t> topo;   topo.reserve(n);
+    std::vector<int64_t> dfs_node; dfs_node.reserve(n);
+    std::vector<int64_t> dfs_ptr;  dfs_ptr.reserve(n);
+    std::vector<char> mark(n, 0);
+    std::vector<int64_t> touched; touched.reserve(n);
+    int64_t lnnz = 0, unnz = 0;
+    lptr[0] = 0; uptr[0] = 0;
+    for (int64_t j = 0; j < n; ++j) {
+        int64_t cj = colperm ? colperm[j] : j;
+        topo.clear(); touched.clear();
+        // DFS reach through finished L columns (by pivot position)
+        for (int64_t p = aptr[cj]; p < aptr[cj + 1]; ++p) {
+            int64_t start = arow[p];
+            if (mark[start]) continue;
+            dfs_node.clear(); dfs_ptr.clear();
+            dfs_node.push_back(start);
+            dfs_ptr.push_back(pinv[start] >= 0 ? lptr[pinv[start]] : -1);
+            mark[start] = 1; touched.push_back(start);
+            while (!dfs_node.empty()) {
+                int64_t node = dfs_node.back();
+                int64_t k = pinv[node];
+                if (k < 0) { topo.push_back(node); dfs_node.pop_back(); dfs_ptr.pop_back(); continue; }
+                int64_t& q = dfs_ptr.back();
+                bool descended = false;
+                while (q < lptr[k + 1]) {
+                    int64_t child = lrow[q]; ++q;
+                    if (!mark[child]) {
+                        mark[child] = 1; touched.push_back(child);
+                        dfs_node.push_back(child);
+                        dfs_ptr.push_back(pinv[child] >= 0 ? lptr[pinv[child]] : -1);
+                        descended = true;
+                        break;
+                    }
+                }
+                if (!descended && q >= lptr[k + 1]) {
+                    topo.push_back(node); dfs_node.pop_back(); dfs_ptr.pop_back();
+                }
+            }
+        }
+        // numeric scatter solve in topological order (topo is reverse-post)
+        for (int64_t p = aptr[cj]; p < aptr[cj + 1]; ++p) x[arow[p]] = aval[p];
+        for (int64_t t = (int64_t)topo.size() - 1; t >= 0; --t) {
+            int64_t node = topo[t];
+            int64_t k = pinv[node];
+            if (k < 0) continue;
+            double xk = x[node];
+            if (xk != 0.0)
+                for (int64_t p = lptr[k]; p < lptr[k + 1]; ++p)
+                    x[lrow[p]] -= lval[p] * xk;
+        }
+        // threshold partial pivot among unfinished rows
+        double cmax = 0.0; int64_t prow = -1;
+        for (int64_t node : touched)
+            if (pinv[node] < 0) {
+                double m = std::abs(x[node]);
+                if (m > cmax) { cmax = m; prow = node; }
+            }
+        if (prow < 0 || cmax == 0.0) {
+            for (int64_t node : touched) { mark[node] = 0; x[node] = 0.0; }
+            return j + 1;
+        }
+        if (pivot_threshold < 1.0 && !mark[cj]) { /* diag not in pattern */ }
+        if (pivot_threshold < 1.0 && mark[cj] && pinv[cj] < 0
+            && std::abs(x[cj]) >= pivot_threshold * cmax)
+            prow = cj;                       // sparsity-preserving diagonal
+        double pv = x[prow];
+        pinv[prow] = j; rowperm[j] = prow;
+        // counts
+        int64_t nl = 0, nu = 0;
+        for (int64_t node : touched) {
+            if (node == prow) continue;
+            if (pinv[node] >= 0 && pinv[node] < j) nu++;
+            else if (pinv[node] < 0 && x[node] != 0.0) nl++;
+        }
+        if (lnnz + nl > cap || unnz + nu + 1 > cap) {
+            for (int64_t node : touched) { mark[node] = 0; x[node] = 0.0; }
+            int64_t need = (lnnz + nl > unnz + nu + 1 ? lnnz + nl : unnz + nu + 1);
+            return -(need * (n) / (j + 1) + n);   // growth-scaled retry hint
+        }
+        for (int64_t node : touched) {
+            if (pinv[node] >= 0 && pinv[node] < j && node != prow) {
+                urow[unnz] = pinv[node]; uval[unnz] = x[node]; unnz++;
+            } else if (node != prow && pinv[node] < 0 && x[node] != 0.0) {
+                lrow[lnnz] = node; lval[lnnz] = x[node] / pv; lnnz++;
+            }
+            mark[node] = 0; x[node] = 0.0;
+        }
+        urow[unnz] = j; uval[unnz] = pv; unnz++;   // diagonal of U
+        x[prow] = 0.0;
+        lptr[j + 1] = lnnz;
+        uptr[j + 1] = unnz;
+    }
+    return 0;
+}
+
+}  // extern "C"

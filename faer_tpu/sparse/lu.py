@@ -33,7 +33,26 @@ class SparseLu:
 
 
 def factorize_symbolic_lu(sym: SymbolicSparseCsc):
-    """Column ordering via COLAMD (faer ``factorize_symbolic_lu``)."""
+    """Column ordering via COLAMD (faer ``factorize_symbolic_lu``).
+
+    With the native library present, large patterns order via C++ AMD on the
+    (lower) AᵀA pattern — the fill model COLAMD approximates — since the
+    Python COLAMD is the wall-time floor past a few thousand columns."""
+    n = sym.ncols
+    if n >= 512:
+        from faer_tpu import native
+
+        if native.available():
+            import scipy.sparse as sp
+
+            a = sp.csc_matrix((np.ones(sym.nnz), sym.row_idx, sym.col_ptr),
+                              shape=(sym.nrows, sym.ncols))
+            ata = sp.tril((a.T @ a).tocsc())
+            ata = ata.tocsc()
+            perm = native.amd_order(n, ata.indptr.astype(np.int64),
+                                    ata.indices.astype(np.int64))
+            if perm is not None:
+                return perm
     col_perm, _ = _colamd.order(sym)
     return col_perm
 
@@ -52,9 +71,17 @@ def factorize_numeric_lu(a: SparseCscMat, *, col_perm: np.ndarray | None = None,
     if method == "auto":
         # multifrontal front pivoting is plain partial pivoting — a custom
         # pivot_threshold (like a custom col_perm) only exists on the
-        # Gilbert–Peierls path, so honor it by routing there
+        # Gilbert–Peierls path, so honor it by routing there.  With the
+        # native C++ numeric available the simplicial path wins on wall time
+        # (one dispatch-free sweep); the multifrontal/MXU path stays opt-in.
+        from faer_tpu import native
+
+        native_ok = (native.available()
+                     and not np.iscomplexobj(a.values)
+                     and a.values.dtype == np.float64)
         method = ("supernodal"
                   if n >= 200 and col_perm is None and pivot_threshold == 1.0
+                  and not native_ok
                   else "simplicial")
     if method == "supernodal":
         if pivot_threshold != 1.0:
@@ -68,6 +95,35 @@ def factorize_numeric_lu(a: SparseCscMat, *, col_perm: np.ndarray | None = None,
         col_perm = factorize_symbolic_lu(a.symbolic)
     s = a.symbolic
     dtype = a.values.dtype
+    # native C++ Gilbert-Peierls fast path (real f64)
+    if not np.iscomplexobj(a.values) and a.values.dtype == np.float64:
+        from faer_tpu import native
+
+        out = native.gp_lu(n, s.col_ptr, s.row_idx, a.values, col_perm,
+                           pivot_threshold=pivot_threshold)
+        if out is not None:
+            lptr, lrow_o, lval, uptr, urow, uval, p_ = out
+            pinv_ = np.empty(n, dtype=np.int64)
+            pinv_[p_] = np.arange(n, dtype=np.int64)
+            # L: remap rows to pivot order, insert unit diagonal, sort
+            counts = np.diff(lptr)
+            lcol_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+            lr = pinv_[lrow_o]
+            lr_all = np.concatenate([np.arange(n, dtype=np.int64), lr])
+            lc_all = np.concatenate([np.arange(n, dtype=np.int64), lcol_of])
+            lv_all = np.concatenate([np.ones(n), lval])
+            order = np.lexsort((lr_all, lc_all))
+            lptr2 = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(np.bincount(lc_all, minlength=n), out=lptr2[1:])
+            l = SparseCscMat(SymbolicSparseCsc(n, n, lptr2, lr_all[order]),
+                             lv_all[order])
+            # U: rows already pivot positions; sort within columns
+            ucol_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(uptr))
+            uorder = np.lexsort((urow, ucol_of))
+            u = SparseCscMat(SymbolicSparseCsc(n, n, uptr.copy(),
+                                               urow[uorder]), uval[uorder])
+            return SparseLu(nrows=m, ncols=n, row_perm=p_.copy(),
+                            col_perm=col_perm, l=l, u=u)
 
     # working structures: L columns built incrementally; row permutation
     pinv = np.full(n, -1, dtype=np.int64)   # row → pivot position
