@@ -237,3 +237,24 @@ def test_blocked_bidiag_matches_unblocked():
         an = np.asarray(a, np.complex128)
         err = np.abs(rec - an).max() / np.abs(an).max()
         assert err < 64 * n * np.finfo(np.float64).eps, err
+
+
+def test_blocked_hessenberg_matches_unblocked():
+    """lahr2-panel Hessenberg reduction (hessenberg.rs:549 parity)."""
+    from faer_tpu.linalg.evd import hessenberg_blocked
+
+    rng = np.random.default_rng(7)
+    for n, dt in ((300, jnp.float64), (260, jnp.complex128)):
+        g = rng.standard_normal((n, n))
+        if jnp.issubdtype(dt, jnp.complexfloating):
+            g = g + 1j * rng.standard_normal((n, n))
+        a = jnp.asarray(g, dt)
+        h, q = hessenberg_blocked(a, block=64)
+        hn = np.asarray(h, np.complex128)
+        qn = np.asarray(q, np.complex128)
+        an = np.asarray(a, np.complex128)
+        rec = np.abs(qn @ hn @ np.conj(qn).T - an).max() / np.abs(an).max()
+        orth = np.abs(np.conj(qn).T @ qn - np.eye(n)).max()
+        assert rec < 64 * n * np.finfo(np.float64).eps, rec
+        assert orth < 64 * n * np.finfo(np.float64).eps, orth
+        assert np.abs(np.tril(hn, -2)).max() == 0.0
