@@ -406,10 +406,18 @@ def lblt_factor(a, params: LbltParams | None = None):
     lower) and the 1×1 diagonal entries of B; ``subdiag[k] != 0`` marks a 2×2
     block starting at k with off-diagonal ``subdiag[k]``.
 
-    faer ``bunch_kaufman/factor.rs:1161`` (partial pivoting strategy, LAPACK
-    sytf2-style). Implemented as a ``while_loop`` advancing by 1 or 2 columns
-    with masked full-matrix updates.
+    faer ``bunch_kaufman/factor.rs:1161`` (partial pivoting strategy).
+    n > 96 routes to the BLOCKED (LAPACK-``lahef``-style) form: panels of
+    deferred updates with one trailing GEMM per panel; small n uses the
+    unblocked ``while_loop`` below.
     """
+    if a.shape[0] > 96:
+        return _lblt_blocked(a, 32)
+    return _lblt_unblocked(a, params)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _lblt_unblocked(a, params: LbltParams | None = None):
     del params
     n = a.shape[0]
     rdt = dtypes.real_dtype_of(a.dtype)
@@ -517,6 +525,158 @@ def lblt_factor(a, params: LbltParams | None = None):
         jnp.zeros((), jnp.int32),
     )
     k, a, perm, subdiag, nt, count = jax.lax.while_loop(cond, body, init)
+    info = LbltInfo(dynamic_regularization_count=count, transposition_count=nt)
+    return jnp.tril(a), subdiag, perm, info
+
+
+def _lblt_blocked(a, bw: int):
+    """lahef-style blocked Bunch-Kaufman: a global ``while_loop`` over
+    DYNAMIC panels (a 2×2 pivot may land the panel boundary at bw−1 or bw
+    consumed columns); within a panel each step reads VIRTUAL columns
+    ``c = (A − V Wᴴ) e_j`` (V = L columns, W = updated columns) and the
+    trailing rank-2b update runs once per panel on the MXU."""
+    n = a.shape[0]
+    dtype = a.dtype
+    rdt = dtypes.real_dtype_of(dtype)
+    alpha = (1.0 + 17.0 ** 0.5) / 8.0
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    cols_b = jax.lax.broadcasted_iota(jnp.int32, (1, bw), 1)[0]
+    a = jnp.tril(a)
+    a = a + jnp.conj(jnp.tril(a, -1)).T
+
+    def vcol(a, v_p, w_p, j):
+        j = j.astype(jnp.int32) if hasattr(j, "astype") else jnp.int32(j)
+        z = jnp.zeros((), jnp.int32)
+        col = jax.lax.dynamic_slice(a, (z, j), (n, 1))[:, 0]
+        wrow = jnp.conj(jax.lax.dynamic_slice(w_p, (j, z), (1, bw))[0])
+        return col - matmul(None, v_p, wrow[:, None])[:, 0]
+
+    def panel(state):
+        kg, a, perm, subdiag, nt, count = state
+        v0 = jnp.zeros((n, bw), dtype)
+        w0 = jnp.zeros((n, bw), dtype)
+
+        def step(_, st):
+            a, v_p, w_p, kl, perm, subdiag, nt, count = st
+            j = kg + kl
+            active = (kl <= bw - 2) & (j < n)
+
+            def run(ops):
+                a, v_p, w_p, kl, perm, subdiag, nt, count = ops
+                c = vcol(a, v_p, w_p, j)
+                absakk = jnp.abs(jnp.sum(jnp.where(
+                    rows == j, jnp.real(c), 0))).astype(rdt)
+                colmag = jnp.where(rows > j, jnp.abs(c).astype(rdt), -1.0)
+                r = jnp.argmax(colmag).astype(jnp.int32)
+                colmax = jnp.maximum(colmag[r], 0.0)
+                cr = vcol(a, v_p, w_p, r)
+                rowmag = jnp.where((rows >= j) & (rows != r),
+                                   jnp.abs(cr).astype(rdt), -1.0)
+                rowmax = jnp.maximum(jnp.max(rowmag), 0.0)
+                arr = jnp.abs(jnp.sum(jnp.where(
+                    rows == r, jnp.real(cr), 0))).astype(rdt)
+                zero_piv = jnp.maximum(absakk, colmax) == 0
+                u11_a = absakk >= alpha * colmax
+                u11_b = absakk * rowmax >= alpha * colmax * colmax
+                u11_sw = arr >= alpha * rowmax
+                one_by_one = zero_piv | u11_a | u11_b | u11_sw
+                one_by_one = one_by_one | (j + 1 >= n)   # no room for 2×2
+                do_swap = (~zero_piv) & (~u11_a) & (~u11_b)
+                kp = jnp.where(do_swap, r, j)
+                swap_row = jnp.where(one_by_one, j, j + 1)
+
+                def do_sw(ops):
+                    a, v_p, w_p, perm = ops
+                    a = permod.swap_rows(a, swap_row, kp)
+                    a = permod.swap_cols(a, swap_row, kp)
+                    v_p = permod.swap_rows(v_p, swap_row, kp)
+                    w_p = permod.swap_rows(w_p, swap_row, kp)
+                    perm = permod.swap_rows(perm, swap_row, kp)
+                    return a, v_p, w_p, perm
+
+                swapped = kp != swap_row
+                a, v_p, w_p, perm = jax.lax.cond(
+                    swapped, do_sw, lambda o: o, (a, v_p, w_p, perm))
+                nt = nt + jnp.where(swapped, 1, 0)
+                count = count + jnp.where(zero_piv, 1, 0)
+
+                def elim_1x1(ops):
+                    a, v_p, w_p, subdiag = ops
+                    c = vcol(a, v_p, w_p, j)
+                    d = jnp.sum(jnp.where(rows == j, jnp.real(c), 0))
+                    safe = jnp.where(d == 0, jnp.ones_like(d), d).astype(dtype)
+                    below = rows > j
+                    l = jnp.where(below, c / safe, jnp.zeros_like(c))
+                    packed = jnp.where(rows == j, d.astype(dtype) * jnp.ones_like(c),
+                                       jnp.where(below, l, c))
+                    a = jax.lax.dynamic_update_slice(a, packed[:, None],
+                                                     (jnp.int32(0), j))
+                    live = cols_b == kl
+                    v_p = jnp.where(live[None, :], l[:, None], v_p)
+                    w_p = jnp.where(live[None, :],
+                                    jnp.where(below, c, jnp.zeros_like(c))[:, None],
+                                    w_p)
+                    return a, v_p, w_p, subdiag
+
+                def elim_2x2(ops):
+                    a, v_p, w_p, subdiag = ops
+                    c1 = vcol(a, v_p, w_p, j)
+                    c2 = vcol(a, v_p, w_p, j + 1)
+                    d11 = jnp.sum(jnp.where(rows == j, c1, 0))
+                    d21 = jnp.sum(jnp.where(rows == j + 1, c1, 0))
+                    d22 = jnp.sum(jnp.where(rows == j + 1, c2, 0))
+                    det = jnp.real(d11 * d22 - d21 * jnp.conj(d21))
+                    safe_det = jnp.where(det == 0, jnp.ones_like(det),
+                                         det).astype(dtype)
+                    inv11 = (jnp.real(d22) / jnp.real(safe_det)).astype(dtype)
+                    inv22 = (jnp.real(d11) / jnp.real(safe_det)).astype(dtype)
+                    inv21 = -d21 / safe_det
+                    below2 = rows > j + 1
+                    l1 = jnp.where(below2, c1 * inv11 + c2 * inv21, 0)
+                    l2 = jnp.where(below2, c1 * jnp.conj(inv21) + c2 * inv22, 0)
+                    p1 = jnp.where(rows == j, d11,
+                                   jnp.where(rows == j + 1, d21,
+                                             jnp.where(below2, l1, c1)))
+                    p2 = jnp.where(rows == j + 1, d22,
+                                   jnp.where(below2, l2, c2))
+                    a = jax.lax.dynamic_update_slice(a, p1[:, None],
+                                                     (jnp.int32(0), j))
+                    a = jax.lax.dynamic_update_slice(a, p2[:, None],
+                                                     (jnp.int32(0), j + 1))
+                    live1 = cols_b == kl
+                    live2 = cols_b == kl + 1
+                    v_p = jnp.where(live1[None, :], l1[:, None], v_p)
+                    v_p = jnp.where(live2[None, :], l2[:, None], v_p)
+                    wm1 = jnp.where(below2, c1, jnp.zeros_like(c1))
+                    wm2 = jnp.where(below2, c2, jnp.zeros_like(c2))
+                    w_p = jnp.where(live1[None, :], wm1[:, None], w_p)
+                    w_p = jnp.where(live2[None, :], wm2[:, None], w_p)
+                    subdiag = subdiag.at[j].set(d21)
+                    return a, v_p, w_p, subdiag
+
+                a, v_p, w_p, subdiag = jax.lax.cond(
+                    one_by_one, elim_1x1, elim_2x2, (a, v_p, w_p, subdiag))
+                kl = kl + jnp.where(one_by_one, 1, 2)
+                return a, v_p, w_p, kl, perm, subdiag, nt, count
+
+            return jax.lax.cond(active, run, lambda o: o,
+                                (a, v_p, w_p, kl, perm, subdiag, nt, count))
+
+        st0 = (a, v0, w0, jnp.zeros((), jnp.int32), perm, subdiag, nt, count)
+        a, v_p, w_p, kl, perm, subdiag, nt, count = jax.lax.fori_loop(
+            0, bw - 1, step, st0)
+        # one trailing GEMM: A −= V Wᴴ on rows/cols ≥ the new panel start
+        end = kg + kl
+        upd = matmul(None, v_p, jnp.conj(w_p).T)
+        keep = (rows >= end)[:, None] & (rows >= end)[None, :]
+        a = jnp.where(keep, a - upd, a)
+        return end, a, perm, subdiag, nt, count
+
+    state = (jnp.zeros((), jnp.int32), a, jnp.arange(n, dtype=jnp.int32),
+             jnp.zeros((n,), dtype), jnp.zeros((), jnp.int32),
+             jnp.zeros((), jnp.int32))
+    state = jax.lax.while_loop(lambda s: s[0] < n, panel, state)
+    _, a, perm, subdiag, nt, count = state
     info = LbltInfo(dynamic_regularization_count=count, transposition_count=nt)
     return jnp.tril(a), subdiag, perm, info
 
