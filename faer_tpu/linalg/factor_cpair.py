@@ -166,8 +166,7 @@ def _pinv_upper(u):
         mask = rows > i
         urow = (jnp.where(mask, urow[0], 0), jnp.where(mask, urow[1], 0))
         s = pmatmul((urow[0][None, :], urow[1][None, :]), (xr, xi))
-        er = jnp.where(rows == i, jnp.ones((), ur.dtype), 0)[None, :] * 0
-        er = er.at[0].set(jnp.where(rows == i, 1.0, 0.0).astype(ur.dtype))
+        er = jnp.where(rows == i, 1.0, 0.0).astype(ur.dtype)[None, :]
         num = (er - s[0], -s[1])
         inv = cdiv((jnp.ones((), ur.dtype), jnp.zeros((), ur.dtype)), dii)
         rowr = num[0] * inv[0] - num[1] * inv[1]        # (1, b)
