@@ -534,6 +534,10 @@ class Svd:
         if is_pair:
             from faer_tpu.linalg import factor_cpair as _fc
 
+            if not thin:
+                raise NotImplementedError(
+                    "full (non-thin) SVD is not available on the pair-backed "
+                    "complex path; use thin=True")
             ar, ai = ap
             if ar.shape[0] >= ar.shape[1]:
                 s, u, v, info = _fc.svd_pair(ar, ai)
