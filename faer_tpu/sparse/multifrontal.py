@@ -74,16 +74,21 @@ def _rows_by_leftmost(ap: SparseCscMat):
 class FrontHouseholder:
     """One front's stored Householder data (faer
     ``SymbolicSupernodalHouseholder``, ``qr.rs:317``): enough to replay the
-    front's orthogonal transform on a right-hand side."""
+    front's orthogonal transform on a right-hand side.
+
+    Small fronts are factorized in host LAPACK (``t_stack is None``, taus
+    kept instead — a device dispatch costs more than the arithmetic);
+    large fronts carry the device compact-WY blocks."""
 
     packed: np.ndarray        # (rpad, c) packed V (strict lower) + R (upper)
-    t_stack: np.ndarray       # compact-WY T blocks from qr_in_place
-    block: int                # qr_in_place panel width
+    t_stack: np.ndarray | None  # compact-WY T blocks from qr_in_place
+    block: int                # qr_in_place panel width (host path: = c)
     rows: np.ndarray          # original A-row ids of the leading rows
     children: np.ndarray      # child supernode ids, assembly order
     nr: int                   # assembled rows incl. zero-fill to c (pre-pad)
     c: int                    # front width (pattern size)
     w: int                    # pivot columns
+    taus: np.ndarray | None = None   # host-path reflector taus
 
 
 @dataclasses.dataclass
@@ -175,8 +180,19 @@ def qr_numeric_multifrontal(a: SparseCscMat, symb: SymbolicCholesky,
         rpad = _pad_class(nr)
         fr = np.zeros((rpad, c), dtype=f.dtype)
         fr[:nr] = f
-        packed, ts, block = qr_in_place(jnp.asarray(fr))
-        packed = np.asarray(packed)
+        taus = None
+        if rpad * c <= 128 * 128 and not np.iscomplexobj(fr):
+            # host LAPACK for tiny fronts: same packed layout + tau
+            # convention as qr_in_place (geqrf)
+            from scipy.linalg import qr as _scipy_qr
+
+            (packed, taus), _ = _scipy_qr(fr, mode="raw")
+            packed = np.ascontiguousarray(packed)
+            ts = None
+            block = c
+        else:
+            packed, ts, block = qr_in_place(jnp.asarray(fr))
+            packed = np.asarray(packed)
         r_up = np.triu(packed[:c, :c])
         # R rows j0..j1-1: L column j's pattern ⊆ pattern[j-j0:] (equality
         # for fundamental supernodes; strict subset under amalgamation)
@@ -191,9 +207,10 @@ def qr_numeric_multifrontal(a: SparseCscMat, symb: SymbolicCholesky,
         contribs[s] = []                # free
         if keep_householder:
             fronts[s] = FrontHouseholder(
-                packed=packed, t_stack=np.asarray(ts), block=block,
+                packed=packed,
+                t_stack=None if ts is None else np.asarray(ts), block=block,
                 rows=rs, children=np.asarray(children, dtype=np.int64),
-                nr=nr, c=c, w=w)
+                nr=nr, c=c, w=w, taus=taus)
     r_csc = SparseCscMat(ls, lvals)
     if keep_householder:
         return r_csc, MultifrontalQrHouseholder(ssym=ssym, fronts=fronts, m=m)
@@ -229,9 +246,19 @@ def qr_multifrontal_apply_qt(hh: MultifrontalQrHouseholder, b):
         rpad = fr.packed.shape[0]
         rp = np.zeros((rpad, k), dtype=rhs.dtype)
         rp[:rhs.shape[0]] = rhs           # zero-fill rows match the numeric pad
-        qtb = np.asarray(qr_apply_q(jnp.asarray(fr.packed),
-                                    jnp.asarray(fr.t_stack), fr.block,
-                                    jnp.asarray(rp), adjoint=True))
+        if fr.t_stack is None:
+            # host apply: Qᵀ = H_k…H_1 with LAPACK reflectors
+            qtb = rp.copy()
+            kref = min(fr.packed.shape)
+            for jr in range(kref):
+                v = np.zeros(rpad, dtype=rp.dtype)
+                v[jr] = 1.0
+                v[jr + 1:] = fr.packed[jr + 1:, jr]
+                qtb -= fr.taus[jr] * np.outer(v, v @ qtb)
+        else:
+            qtb = np.asarray(qr_apply_q(jnp.asarray(fr.packed),
+                                        jnp.asarray(fr.t_stack), fr.block,
+                                        jnp.asarray(rp), adjoint=True))
         y[j0:j0 + fr.w] = qtb[:fr.w]
         carry[s] = qtb[fr.w:fr.c]
         for ch in fr.children:
