@@ -333,15 +333,30 @@ def lu_numeric_multifrontal(a: SparseCscMat, symb: SymbolicCholesky | None = Non
         rpad = _pad_class(nr)
         fp = np.zeros((rpad, w), dtype=dtype)
         fp[:nr] = f[:, :w]
-        packed, lperm, _, ok = _panel_lu_blocked(jnp.asarray(fp), 32)
-        lperm = np.asarray(lperm)
+        if rpad * w <= 128 * 128 and not np.iscomplexobj(fp):
+            # host LAPACK for tiny fronts (dispatch overhead dominates)
+            from scipy.linalg import lu_factor as _scipy_lu
+
+            pk, piv = _scipy_lu(fp, check_finite=False)
+            pl = np.arange(rpad, dtype=np.int64)
+            for i, pi in enumerate(piv):
+                pl[i], pl[pi] = pl[pi], pl[i]
+            packed = np.zeros_like(fp)
+            packed[:] = pk
+            lperm = pl
+            du = np.abs(np.diagonal(pk)[:w])
+            ok = bool(np.all(du > 0))
+        else:
+            packed, lperm, _, ok = _panel_lu_blocked(jnp.asarray(fp), 32)
+            lperm = np.asarray(lperm)
+            packed = np.asarray(packed)
+            ok = bool(ok)
         # keep only the real rows (padding rows sort to the back for pivots
         # chosen among real rows; verify)
-        if not bool(ok) and nr >= w:
+        if not ok and nr >= w:
             # padding rows can make ok=False spuriously only if a pivot hit
             # an exact zero among real candidates — treat as singular
             raise ValueError(f"numerically singular front at supernode {s}")
-        packed = np.asarray(packed)
         piv_local = lperm[:w]
         if np.any(piv_local >= nr):
             raise ValueError(f"zero pivot column in supernode {s}")
