@@ -14,9 +14,11 @@ TPU-native design (SURVEY §2.5): the symbolic phase reuses the supernode
 detection of the sparse Cholesky stack; the numeric phase is a host-ordered
 postorder sweep where each front is assembled with vectorized numpy
 scatter/gather and factorized by the DENSE device kernel stack
-(``linalg.qr`` / ``linalg.lu`` panels), padded to MXU-aligned size classes.
-Contribution blocks flow parent-ward exactly as in the classical
-multifrontal method.
+(``linalg.qr`` / ``linalg.lu`` panels) padded to MXU-aligned size classes —
+EXCEPT tiny fronts (area ≤ 128²), which run in host LAPACK because a device
+dispatch costs orders more than their arithmetic (the round-3 wall-time fix;
+see BENCH_NOTES).  Contribution blocks flow parent-ward exactly as in the
+classical multifrontal method.
 """
 from __future__ import annotations
 
