@@ -367,6 +367,52 @@ def qr_solve_lstsq_pair(packed, t_stack, block: int, b):
     return _psolve_upper(r, (qtb[0][:n], qtb[1][:n]))
 
 
+def col_piv_qr_in_place_pair(ar, ai):
+    """Pair column-pivoted Householder QR: returns
+    ``(packed pair, taus pair, col_perm)`` — the pair twin of
+    ``qr.col_piv_qr_in_place`` (faer ``col_pivoting/factor.rs:345``).
+    Unblocked with exact trailing-norm recompute per step."""
+    m, n = ar.shape
+    kmax = min(m, n)
+    rdt = ar.dtype
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]
+
+    @jax.jit
+    def run(ar, ai):
+        def body(j, st):
+            (xr, xi), (tr_, ti_), perm = st
+            sq = jnp.sum(jnp.where((rows >= j)[:, None],
+                                   xr * xr + xi * xi, 0), axis=0)
+            p = jnp.argmax(jnp.where(cols >= j, sq, -1.0)).astype(jnp.int32)
+            swap = jnp.arange(n, dtype=jnp.int32).at[j].set(p).at[p].set(j)
+            xr = xr[:, swap]
+            xi = xi[:, swap]
+            perm = perm[swap]
+            c = (jax.lax.dynamic_slice(xr, (0, j), (m, 1))[:, 0],
+                 jax.lax.dynamic_slice(xi, (0, j), (m, 1))[:, 0])
+            v, tau, beta = _phouse_from_masked(c, j, rows)
+            a2 = _papply_house_left((xr, xi), v, tau, conj_tau=True)
+            keep = (cols >= j)[None, :]
+            xr = jnp.where(keep, a2[0], xr)
+            xi = jnp.where(keep, a2[1], xi)
+            colr = jnp.where(rows == j, beta, jnp.where(rows > j, v[0], c[0]))
+            coli = jnp.where(rows == j, 0.0, jnp.where(rows > j, v[1], c[1]))
+            on = (cols == j)[None, :]
+            xr = jnp.where(on, colr[:, None], xr)
+            xi = jnp.where(on, coli[:, None], xi)
+            tr_ = tr_.at[j].set(tau[0])
+            ti_ = ti_.at[j].set(tau[1])
+            return (xr, xi), (tr_, ti_), perm
+
+        st0 = ((ar, ai), (jnp.zeros((kmax,), rdt), jnp.zeros((kmax,), rdt)),
+               jnp.arange(n, dtype=jnp.int32))
+        return jax.lax.fori_loop(0, kmax, body, st0)
+
+    packed, taus, perm = run(ar, ai)
+    return packed, taus, perm
+
+
 # ---------------------------------------------------------------------------
 # pair LU (partial pivoting)
 # ---------------------------------------------------------------------------

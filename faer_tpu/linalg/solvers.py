@@ -495,6 +495,12 @@ class ColPivQr:
 
     @staticmethod
     def new(a) -> "ColPivQr":
+        ap, is_pair = _split_complex_if_needed(a)
+        if is_pair:
+            from faer_tpu.linalg import factor_cpair as _fc
+
+            packed, taus, perm = _fc.col_piv_qr_in_place_pair(*ap)
+            return ColPivQr(packed=packed, taus=taus, col_perm=perm)
         packed, taus, perm = _qr.col_piv_qr_in_place(_unmat(a))
         return ColPivQr(packed=packed, taus=taus, col_perm=perm)
 
@@ -502,13 +508,50 @@ class ColPivQr:
         return self.solve_lstsq(rhs)
 
     def solve_lstsq(self, rhs):
+        if isinstance(self.packed, tuple):
+            from faer_tpu.linalg import factor_cpair as _fc
+
+            bp, _ = _split_complex_if_needed(rhs, force=True)
+            n = self.packed[0].shape[1]
+            # one-reflector-at-a-time Qᴴb, then the pair R solve + unpermute
+            qtb = bp
+            m = self.packed[0].shape[0]
+            rows = jnp.arange(m)
+            for j in range(min(self.packed[0].shape)):
+                vr = jnp.where(rows == j, 1.0,
+                               jnp.where(rows > j, self.packed[0][:, j], 0.0))
+                vi = jnp.where(rows > j, self.packed[1][:, j], 0.0)
+                qtb = _fc._papply_house_left(
+                    qtb, (vr, vi), (self.taus[0][j], self.taus[1][j]),
+                    conj_tau=True)
+            r = (jnp.triu(self.packed[0][:n, :n]),
+                 jnp.triu(self.packed[1][:n, :n]))
+            x = _fc._psolve_upper(r, (qtb[0][:n], qtb[1][:n]))
+            import numpy as np
+
+            xc = _pair_to_host(x)
+            out = np.empty_like(xc)
+            out[np.asarray(self.col_perm)] = xc
+            return out
         return _qr.col_piv_qr_solve_lstsq(self.packed, self.taus, self.col_perm,
                                           _unmat(rhs))
 
     def reconstruct(self):
+        if isinstance(self.packed, tuple):
+            raise NotImplementedError(
+                "reconstruct on the pair-backed ColPivQr is not implemented; "
+                "use solve_lstsq/rank")
         return _qr.col_piv_qr_reconstruct(self.packed, self.taus, self.col_perm)
 
     def rank(self, tol=None):
+        if isinstance(self.packed, tuple):
+            k = min(self.packed[0].shape)
+            d = jnp.sqrt(jnp.diagonal(self.packed[0][:k, :k]) ** 2
+                         + jnp.diagonal(self.packed[1][:k, :k]) ** 2)
+            if tol is None:
+                tol = jnp.max(d) * max(self.packed[0].shape) * dtypes.eps(
+                    self.packed[0].dtype)
+            return jnp.sum(d > tol)
         k = min(self.packed.shape)
         d = jnp.abs(jnp.diagonal(self.packed[:k, :k]))
         if tol is None:

@@ -140,3 +140,15 @@ def test_ldlt_pair_embedding(rng):
     f = solvers.Ldlt.new(_pair64(herm))
     x2 = f.solve(_pair64(b))
     assert np.abs(herm @ x2 - b).max() < 1e-6
+
+
+def test_col_piv_qr_pair(rng):
+    m, n = 60, 40
+    a = _mk(rng, m, n)
+    a[:, ::5] *= 1e-6                      # rank-revealing gradient
+    f = solvers.ColPivQr.new(_pair32(a))
+    b = _mk(rng, m, 2)
+    x = f.solve_lstsq(_pair32(b))
+    want = np.linalg.lstsq(a, b, rcond=None)[0]
+    assert np.abs(x - want).max() < 1e-2 * max(1.0, np.abs(want).max())
+    assert int(f.rank(tol=1e-4)) == n - len(range(0, n, 5))
