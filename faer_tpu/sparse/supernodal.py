@@ -93,6 +93,19 @@ def detect_supernodes(symb: SymbolicCholesky, *, relax: int = 8,
                               col_of_sn=col_of_sn)
 
 
+#: fronts with area ≤ this run in host numpy (device dispatch overhead wins)
+_HOST_FRONT_AREA = 128 * 128
+
+
+def _np_trsm_lower(l, b):
+    """Host forward substitution ``L x = b`` (small fronts only)."""
+    from scipy.linalg import solve_triangular
+
+    if b.size == 0:
+        return b
+    return solve_triangular(l, b, lower=True)
+
+
 def _pad_class(x: int, classes=(32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)) -> int:
     for c in classes:
         if x <= c:
@@ -178,15 +191,24 @@ def factorize_supernodal_numeric_llt(ssym: SupernodalSymbolic, a: SparseCscMat):
                 continue
             upd = np.outer(sub_vals[keep], np.conj(piv_vals))
             front[inside[keep][:, None], (piv_rows - j0)[None, :]] -= upd
-        # dense factor of the front on device (padded classes)
-        rpad = _pad_class(nr)
-        fr = np.zeros((rpad, w), dtype=front.dtype)
-        fr[:nr] = front
-        l_top, rest, info = _front_factor(jnp.asarray(fr))
-        l_top = np.asarray(l_top)
-        rest = np.asarray(rest)[: nr - w]
-        if not bool(info.success):
-            raise ValueError(f"non-positive pivot in supernode {s}")
+        # dense factor of the front: tiny fronts run in host numpy (a device
+        # dispatch costs ~ms through the runtime — orders more than the
+        # arithmetic), larger fronts on the device in padded size classes
+        if nr * w <= _HOST_FRONT_AREA:
+            try:
+                l_top = np.linalg.cholesky(front[:w, :w])
+            except np.linalg.LinAlgError:
+                raise ValueError(f"non-positive pivot in supernode {s}")
+            rest = _np_trsm_lower(l_top, front[w:].conj().T).conj().T
+        else:
+            rpad = _pad_class(nr)
+            fr = np.zeros((rpad, w), dtype=front.dtype)
+            fr[:nr] = front
+            l_top, rest, info = _front_factor(jnp.asarray(fr))
+            l_top = np.asarray(l_top)
+            rest = np.asarray(rest)[: nr - w]
+            if not bool(info.success):
+                raise ValueError(f"non-positive pivot in supernode {s}")
         # scatter back into lvals — vectorized per column
         stacked = np.concatenate([l_top, rest], axis=0)     # (nr, w)
         for j in range(j0, j1):
