@@ -103,7 +103,10 @@ void faer_l_pattern(int64_t n, const int64_t* col_ptr, const int64_t* row_idx,
 }
 
 // Approximate minimum degree (quotient graph, element absorption, AMD-style
-// approximate external degrees). perm_out: length n.
+// approximate external degrees, weighted SUPERVARIABLES with hash-based
+// indistinguishable-node merging + aggressive element absorption — the full
+// Amestoy-Davis-Duff algorithm, parity with faer sparse/linalg/amd.rs:903).
+// perm_out: length n.
 void faer_amd_order(int64_t n, const int64_t* col_ptr, const int64_t* row_idx,
                     int64_t* perm_out) {
     // symmetrized adjacency (sets as sorted vectors)
@@ -121,7 +124,9 @@ void faer_amd_order(int64_t n, const int64_t* col_ptr, const int64_t* row_idx,
     std::vector<std::vector<int64_t>> var_elems(n);
     std::vector<std::vector<int64_t>> elem_bound;  // element id → boundary
     std::vector<char> elem_alive;
-    std::vector<char> alive(n, 1);
+    std::vector<char> alive(n, 1);        // 0 once eliminated (output)
+    std::vector<int64_t> nv(n, 1);        // supervariable weight; 0 = absorbed
+    std::vector<std::vector<int64_t>> members(n);  // absorbed original ids
     std::vector<int64_t> degree(n);
     for (int64_t v = 0; v < n; ++v) degree[v] = (int64_t)adj[v].size();
 
@@ -129,36 +134,46 @@ void faer_amd_order(int64_t n, const int64_t* col_ptr, const int64_t* row_idx,
     std::priority_queue<QE, std::vector<QE>, std::greater<QE>> heap;
     for (int64_t v = 0; v < n; ++v) heap.push({degree[v], v});
 
-    std::vector<int64_t> stamp(n, -1);
-    for (int64_t k = 0; k < n; ++k) {
+    std::vector<int64_t> stamp(n, -1);       // bound membership tag
+    std::vector<int64_t> wkey, wval;         // per-element |Le \ Lp| scratch
+    int64_t outp = 0;
+    while (outp < n) {
         int64_t v = -1;
         while (true) {
             QE top = heap.top(); heap.pop();
-            if (alive[top.second] && top.first == degree[top.second]) {
-                v = top.second; break;
-            }
+            int64_t c = top.second;
+            if (alive[c] && nv[c] > 0 && top.first == degree[c]) { v = c; break; }
         }
         alive[v] = 0;
-        perm_out[k] = v;
-        // boundary of the new element
+        perm_out[outp++] = v;
+        for (int64_t m : members[v]) perm_out[outp++] = m;
+        members[v].clear(); members[v].shrink_to_fit();
+
+        // boundary of the new element (dedup via stamp)
+        int64_t eid = (int64_t)elem_bound.size();
         std::vector<int64_t> bound;
-        for (int64_t u : adj[v]) if (alive[u]) bound.push_back(u);
+        int64_t boundw = 0;                  // weighted |Lp|
+        auto push_bound = [&](int64_t u) {
+            if (alive[u] && nv[u] > 0 && u != v && stamp[u] != eid) {
+                stamp[u] = eid;
+                bound.push_back(u);
+                boundw += nv[u];
+            }
+        };
+        for (int64_t u : adj[v]) push_bound(u);
         for (int64_t e : var_elems[v]) {
             if (!elem_alive[e]) continue;
-            for (int64_t u : elem_bound[e]) if (alive[u]) bound.push_back(u);
+            for (int64_t u : elem_bound[e]) push_bound(u);
+            elem_alive[e] = 0;               // absorbed into the new element
         }
-        std::sort(bound.begin(), bound.end());
-        bound.erase(std::unique(bound.begin(), bound.end()), bound.end());
-        for (int64_t e : var_elems[v]) if (e < (int64_t)elem_alive.size()) elem_alive[e] = 0;
-        int64_t eid = (int64_t)elem_bound.size();
         elem_bound.push_back(bound);
         elem_alive.push_back(1);
-        // mark boundary for fast pruning
-        for (int64_t u : bound) stamp[u] = eid;
+        adj[v].clear(); adj[v].shrink_to_fit();
+        var_elems[v].clear(); var_elems[v].shrink_to_fit();
+
         // Amestoy-Davis-Duff approximate degrees: one w(e) = |Le \ Lp|
         // sweep per PIVOT (not the exact union per boundary vertex, which
         // made ordering quadratic on grid graphs)
-        static thread_local std::vector<int64_t> wkey, wval;
         if ((int64_t)wkey.size() < (int64_t)elem_bound.size() + 1) {
             wkey.resize(elem_bound.size() + 4096, -1);
             wval.resize(elem_bound.size() + 4096, 0);
@@ -168,35 +183,114 @@ void faer_amd_order(int64_t n, const int64_t* col_ptr, const int64_t* row_idx,
                 if (!elem_alive[e]) continue;
                 if (wkey[e] != eid) {
                     auto& eb = elem_bound[e];
+                    int64_t w = 0;
                     eb.erase(std::remove_if(eb.begin(), eb.end(),
-                                            [&](int64_t w) { return !alive[w]; }),
+                                            [&](int64_t x) {
+                                                return !alive[x] || nv[x] <= 0;
+                                            }),
                              eb.end());
+                    for (int64_t x : eb) w += nv[x];
                     wkey[e] = eid;
-                    wval[e] = (int64_t)eb.size();
+                    wval[e] = w;
                 }
-                wval[e]--;                   // u ∈ Le ∩ Lp
+                wval[e] -= nv[u];            // u ∈ Le ∩ Lp
             }
         }
+        // aggressive absorption: Le ⊆ Lp → the element is redundant
+        for (int64_t u : bound)
+            for (int64_t e : var_elems[u])
+                if (elem_alive[e] && wkey[e] == eid && wval[e] <= 0)
+                    elem_alive[e] = 0;
+
         for (int64_t u : bound) {
-            // prune direct adjacency: drop v and anything in bound
+            // prune direct adjacency: drop v, absorbed vars, anything in bound
             auto& au = adj[u];
             au.erase(std::remove_if(au.begin(), au.end(), [&](int64_t w) {
-                return w == v || stamp[w] == eid || !alive[w];
+                return w == v || stamp[w] == eid || !alive[w] || nv[w] <= 0;
             }), au.end());
             // refresh element list
             auto& eu = var_elems[u];
             eu.erase(std::remove_if(eu.begin(), eu.end(), [&](int64_t e) {
                 return !elem_alive[e];
             }), eu.end());
-            // d(u) ≈ |A_u \ Lp| + |Lp \ u| + Σ_e |Le \ Lp|
-            int64_t approx = (int64_t)au.size() + (int64_t)bound.size() - 1;
+            // d(u) ≈ |A_u \ Lp| + |Lp \ u| + Σ_e |Le \ Lp|   (all weighted)
+            int64_t approx = boundw - nv[u];
+            for (int64_t w : au) approx += nv[w];
             for (int64_t e : eu)
                 approx += (wkey[e] == eid && wval[e] > 0) ? wval[e] : 0;
             eu.push_back(eid);
-            int64_t newd = std::min(n - k - 1, approx);
+            int64_t newd = std::min(n - outp, approx);
             if (newd != degree[u]) {
                 degree[u] = newd;
                 heap.push({newd, u});
+            }
+        }
+
+        // supervariable detection: hash boundary vars by their quotient-graph
+        // adjacency; compare within buckets; merge indistinguishable pairs
+        // (Adj(i) ∪ {i} == Adj(j) ∪ {j}) so they eliminate together.
+        if (bound.size() > 1) {
+            // group candidates by (hash bucket) via sort on recomputed key
+            std::vector<std::pair<int64_t, int64_t>> hb;
+            hb.reserve(bound.size());
+            for (int64_t u : bound) {
+                int64_t h = 0;
+                for (int64_t w : adj[u]) h += w;
+                for (int64_t e : var_elems[u]) h += e * 131071;
+                hb.push_back({h & 0x7fffffff, u});
+            }
+            std::sort(hb.begin(), hb.end());
+            auto same_sets = [&](int64_t i, int64_t j) {
+                if (adj[i].size() != adj[j].size()) return false;
+                if (var_elems[i].size() != var_elems[j].size()) return false;
+                // element lists: same multiset (order may differ)
+                {
+                    auto a = var_elems[i], b = var_elems[j];
+                    std::sort(a.begin(), a.end());
+                    std::sort(b.begin(), b.end());
+                    if (a != b) return false;
+                }
+                // variable lists are kept sorted only initially; compare as
+                // multisets ignoring mutual {i, j} entries
+                auto a = adj[i], b = adj[j];
+                std::sort(a.begin(), a.end());
+                std::sort(b.begin(), b.end());
+                size_t pa = 0, pb = 0;
+                while (pa < a.size() || pb < b.size()) {
+                    while (pa < a.size() && a[pa] == j) ++pa;
+                    while (pb < b.size() && b[pb] == i) ++pb;
+                    if (pa == a.size() && pb == b.size()) break;
+                    if (pa == a.size() || pb == b.size()) return false;
+                    if (a[pa] != b[pb]) return false;
+                    ++pa; ++pb;
+                }
+                return true;
+            };
+            for (size_t s = 0; s + 1 < hb.size();) {
+                size_t t = s + 1;
+                while (t < hb.size() && hb[t].first == hb[s].first) ++t;
+                for (size_t i0 = s; i0 < t; ++i0) {
+                    int64_t i = hb[i0].second;
+                    if (nv[i] <= 0) continue;
+                    for (size_t j0 = i0 + 1; j0 < t; ++j0) {
+                        int64_t j = hb[j0].second;
+                        if (nv[j] <= 0) continue;
+                        if (!same_sets(i, j)) continue;
+                        // merge j into i
+                        nv[i] += nv[j];
+                        degree[i] -= nv[j];
+                        heap.push({degree[i], i});
+                        members[i].push_back(j);
+                        members[i].insert(members[i].end(),
+                                          members[j].begin(),
+                                          members[j].end());
+                        members[j].clear(); members[j].shrink_to_fit();
+                        nv[j] = 0;
+                        adj[j].clear(); adj[j].shrink_to_fit();
+                        var_elems[j].clear(); var_elems[j].shrink_to_fit();
+                    }
+                }
+                s = t;
             }
         }
     }
