@@ -55,6 +55,14 @@ def _load():
                                    ctypes.c_double, ctypes.c_int64,
                                    i64p, i64p, f64p, i64p, i64p, f64p, i64p]
         lib.faer_gp_lu.restype = ctypes.c_int64
+        lib.faer_supernodal_llt.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p,
+            i64p, i64p, f64p, i64p, i64p, f64p]
+        lib.faer_supernodal_llt.restype = ctypes.c_int64
+        lib.faer_detect_supernodes.argtypes = [
+            ctypes.c_int64, i64p, i64p, i64p, i64p,
+            ctypes.c_int64, ctypes.c_double, i64p, i64p, i64p]
+        lib.faer_detect_supernodes.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -143,6 +151,53 @@ def gp_lu(n: int, aptr, arow, aval, col_perm, *, pivot_threshold: float = 1.0):
             raise ValueError(f"singular at column {int(rc) - 1}")
         cap = max(int(-rc), cap * 2)
     return None  # pragma: no cover - capacity runaway
+
+
+def detect_supernodes(n: int, parent, counts, lptr, lrow, *, relax: int,
+                      relax_ratio: float):
+    """Fundamental supernodes + relaxed amalgamation in C++. Returns
+    ``(sn_start, sn_rptr, sn_rows)`` or None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    lptr = np.ascontiguousarray(lptr, np.int64)
+    cap = int(lptr[-1]) + n + 1
+    sn_start = np.empty(n + 2, dtype=np.int64)
+    sn_rptr = np.empty(n + 2, dtype=np.int64)
+    sn_rows = np.empty(cap, dtype=np.int64)
+    nsn = lib.faer_detect_supernodes(
+        n, np.ascontiguousarray(parent, np.int64),
+        np.ascontiguousarray(counts, np.int64), lptr,
+        np.ascontiguousarray(lrow, np.int64), int(relax),
+        float(relax_ratio), sn_start, sn_rptr, sn_rows)
+    nsn = int(nsn)
+    return (sn_start[:nsn + 1].copy(), sn_rptr[:nsn + 1].copy(),
+            sn_rows[:int(sn_rptr[nsn])].copy())
+
+
+def supernodal_llt(n: int, sn_start, sn_rptr, sn_rows, aptr, arow, aval,
+                   lptr, lrow):
+    """Left-looking supernodal LLT numeric in C++ (f64 real). Returns lval
+    over the L pattern, or None when unavailable; raises ValueError on a
+    non-positive pivot."""
+    lib = _load()
+    if lib is None or np.iscomplexobj(aval):
+        return None
+    sn_start = np.ascontiguousarray(sn_start, np.int64)
+    nsn = sn_start.size - 1
+    lptr = np.ascontiguousarray(lptr, np.int64)
+    lval = np.zeros(int(lptr[-1]), dtype=np.float64)
+    rc = lib.faer_supernodal_llt(
+        n, nsn, sn_start,
+        np.ascontiguousarray(sn_rptr, np.int64),
+        np.ascontiguousarray(sn_rows, np.int64),
+        np.ascontiguousarray(aptr, np.int64),
+        np.ascontiguousarray(arow, np.int64),
+        np.ascontiguousarray(aval, np.float64),
+        lptr, np.ascontiguousarray(lrow, np.int64), lval)
+    if rc != 0:
+        raise ValueError(f"non-positive pivot in supernode {int(rc) - 1}")
+    return lval
 
 
 def lower_solve(n, lptr, lrow, lval, b, *, unit: bool = False,

@@ -155,6 +155,17 @@ def factorize_numeric_llt(symb: SymbolicCholesky, a: SparseCscMat):
     ap = permute_self_adjoint(a, symb.perm)
     n = symb.n
     ls = symb.l_symbolic
+    # supernodal route for large, dense-ish factors: per-descendant GEMM
+    # updates beat the per-column up-looking sweep once columns average
+    # ~24+ entries (measured on grid Laplacians, BENCH_NOTES round 3)
+    if (not np.iscomplexobj(ap.values) and ap.values.dtype == np.float64
+            and n >= 20_000 and ls.nnz >= 24 * n):
+        from faer_tpu import native
+        from faer_tpu.sparse import supernodal as _sn
+
+        if native.available():
+            ssym = _sn.detect_supernodes(symb)
+            return _sn.factorize_supernodal_numeric_llt(ssym, a)
     # native C++ numeric fast path (real f64): ~SuperLU-class wall time
     if not np.iscomplexobj(ap.values) and ap.values.dtype == np.float64:
         from faer_tpu import native

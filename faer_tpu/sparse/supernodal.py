@@ -43,6 +43,24 @@ def detect_supernodes(symb: SymbolicCholesky, *, relax: int = 8,
     n = symb.n
     parent = symb.parent
     counts = symb.col_counts
+
+    # native C++ detection (same greedy semantics, ~100x on large patterns)
+    from faer_tpu import native
+
+    nat = native.detect_supernodes(n, parent, counts,
+                                   symb.l_symbolic.col_ptr,
+                                   symb.l_symbolic.row_idx,
+                                   relax=relax, relax_ratio=relax_ratio)
+    if nat is not None:
+        sn_start, sn_rptr, flat = nat
+        sn_rows = [flat[sn_rptr[s]:sn_rptr[s + 1]]
+                   for s in range(sn_start.size - 1)]
+        col_of_sn = np.zeros(n, dtype=np.int64)
+        for s in range(sn_start.size - 1):
+            col_of_sn[sn_start[s]:sn_start[s + 1]] = s
+        return SupernodalSymbolic(base=symb, sn_start=sn_start,
+                                  sn_rows=sn_rows, col_of_sn=col_of_sn)
+
     starts = [0]
     for j in range(1, n):
         fundamental = (parent[j - 1] == j) and (counts[j - 1] == counts[j] + 1)
@@ -128,8 +146,25 @@ def factorize_supernodal_numeric_llt(ssym: SupernodalSymbolic, a: SparseCscMat):
     symb = ssym.base
     ap = permute_self_adjoint(a, symb.perm)
     ls = symb.l_symbolic
-    lvals = np.zeros(ls.nnz, dtype=ap.values.dtype)
     nsn = len(ssym.sn_rows)
+
+    # native C++ left-looking supernodal driver (per-descendant GEMM updates;
+    # faer supernodal numeric cholesky.rs:3945). Real dtypes compute in f64.
+    if not np.iscomplexobj(ap.values):
+        from faer_tpu import native
+
+        sn_rptr = np.zeros(nsn + 1, dtype=np.int64)
+        np.cumsum([r.size for r in ssym.sn_rows], out=sn_rptr[1:])
+        flat_rows = (np.concatenate(ssym.sn_rows) if nsn
+                     else np.zeros(0, dtype=np.int64))
+        nat = native.supernodal_llt(
+            symb.n, ssym.sn_start, sn_rptr, flat_rows,
+            ap.symbolic.col_ptr, ap.symbolic.row_idx, ap.values,
+            ls.col_ptr, ls.row_idx)
+        if nat is not None:
+            return SparseCscMat(ls, nat.astype(ap.values.dtype, copy=False))
+
+    lvals = np.zeros(ls.nnz, dtype=ap.values.dtype)
 
     # device front factor, jit-cached per padded shape
     import functools
