@@ -38,10 +38,16 @@ class MatmulParams:
 
 @dataclasses.dataclass(frozen=True)
 class LltParams:
-    """faer ``LltParams`` (``cholesky/llt/factor.rs:40``)."""
+    """faer ``LltParams`` (``cholesky/llt/factor.rs:40``).
+
+    ``kernel_leaf``: leaf width handed to the Pallas LLT block kernel (the
+    kernel is latency-bound, so larger leaves amortize the serial chain —
+    512 measured ≈ the same wall as 256 on v5e).
+    """
 
     block_size: int | None = None
     recursion_threshold: int = 64
+    kernel_leaf: int | None = None
 
     @staticmethod
     def auto(dtype=jnp.float32, shape=None) -> "LltParams":

@@ -114,7 +114,8 @@ def llt_factor(a, *, reg: LltRegularization | None = None,
     block = params.block_size or (256 if n >= 1024 else 64 if n >= 128 else n)
     from faer_tpu.core.config import panel_kernels_enabled
 
-    base = min(256 if panel_kernels_enabled(a.dtype) else params.recursion_threshold,
+    base = min((params.kernel_leaf or 256) if panel_kernels_enabled(a.dtype)
+               else params.recursion_threshold,
                block)
     count = jnp.zeros((), jnp.int32)
     ok = jnp.ones((), jnp.bool_)
