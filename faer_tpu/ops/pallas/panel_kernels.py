@@ -608,4 +608,5 @@ def llt_block_v3_pallas(block, *, eps: float = 0.0, delta: float = 0.0):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
     )(block)
-    return jnp.tril(l[:b, :b]), cnt[0, 0], ok[0, 0] != 0
+    # kernel rows hold L's COLUMNS (transposed storage): L = tril(out.T)
+    return jnp.tril(l[:b, :b].T), cnt[0, 0], ok[0, 0] != 0
