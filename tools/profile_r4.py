@@ -44,8 +44,8 @@ def rtt():
 
 
 def timeit(step, x0, chain=None):
-    """Auto-calibrated: pick chain so device time >= ~25 ms (tunnel RTT noise
-    is +-1 ms per read; 25 ms of work bounds the error to ~5%)."""
+    """Auto-calibrated: pick chain so device time >= ~120 ms (tunnel RTT noise
+    is several ms per read; 120 ms of work bounds the error to ~2-4%)."""
     global RTT
     if RTT is None:
         RTT = rtt()
@@ -60,10 +60,12 @@ def timeit(step, x0, chain=None):
     if chain is None:
         probe = make(4)
         float(jnp.max(jnp.abs(probe(x0))))
-        t0 = time.perf_counter()
-        float(jnp.max(jnp.abs(probe(x0))))
-        est = max((time.perf_counter() - t0 - RTT) / 4, 1e-6)
-        chain = max(4, min(512, int(0.025 / est)))
+        est = 9e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jnp.max(jnp.abs(probe(x0))))
+            est = min(est, max((time.perf_counter() - t0 - RTT) / 4, 1e-6))
+        chain = max(4, min(4096, int(0.12 / est)))
     run = make(chain)
     float(jnp.max(jnp.abs(run(x0))))
     ts = []
