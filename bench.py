@@ -38,16 +38,18 @@ def _rtt() -> float:
     return min(ts)
 
 
-CHAIN = 4
+CHAIN = 12
 
 
 def _make_chain(step, x0):
     """K data-dependent iterations inside ONE jitted program.
 
-    The tunnel has ~25 ms RTT, ~3 ms per-dispatch overhead, and caches
-    identical dispatch requests, so separate dispatches measure the tunnel,
-    not the chip. A fori_loop chain with the output folded back into the
-    input isolates device time; per-op time = (wall - rtt) / CHAIN.
+    The tunnel has ~30 ms RTT with several ms of jitter, ~3 ms per-dispatch
+    overhead, and caches identical dispatch requests, so separate dispatches
+    measure the tunnel, not the chip. A fori_loop chain with the output folded
+    back into the input isolates device time; per-op time = (wall - rtt) /
+    CHAIN. CHAIN = 12 puts ≥ 30 ms of device work behind each host read,
+    bounding the RTT-jitter error to a few percent.
     """
     @jax.jit
     def run(x):

@@ -40,9 +40,12 @@ class MatmulParams:
 class LltParams:
     """faer ``LltParams`` (``cholesky/llt/factor.rs:40``).
 
-    ``kernel_leaf``: leaf width handed to the Pallas LLT block kernel (the
-    kernel is latency-bound, so larger leaves amortize the serial chain —
-    512 measured ≈ the same wall as 256 on v5e).
+    ``kernel_leaf``: leaf width handed to the Pallas LLT block kernel.
+    ``None`` (the default, also what ``auto()`` produces) means 256 — the
+    fastest leaf measured on v5e (the 512 single-kernel leaf loses to the
+    256-leaf + GEMM-coupling recursion, tools/r4parts.py round 4). Explicit
+    values are clamped to [128, 512] and rounded up to a multiple of 128 at
+    the use site.
     """
 
     block_size: int | None = None

@@ -70,27 +70,33 @@ def _panel_llt(a, reg: LltRegularization):
     return jnp.tril(a), count, ok
 
 
-def _llt_panel_recursive(a, reg: LltRegularization, base: int):
-    """Two-level LLT of a (b, b) block: fori base case + GEMM recursion."""
+def _llt_panel_recursive(a, reg: LltRegularization, base: int,
+                         symmetric: bool = False):
+    """Two-level LLT of a (b, b) block: fori base case + GEMM recursion.
+
+    ``symmetric``: the input is already full-symmetric storage (true for
+    every Schur-complement block), so the kernel mirror is skipped.
+    """
     b = a.shape[0]
     if b <= base:
         from faer_tpu.core.config import panel_kernels_enabled
 
         if panel_kernels_enabled(a.dtype):
-            from faer_tpu.ops.pallas.panel_kernels import llt_block_pallas
+            from faer_tpu.ops.pallas.leaf_v4 import llt_block_v4_pallas
 
             # kernel reads rows as columns: mirror the lower triangle
-            full = jnp.tril(a) + jnp.tril(a, -1).T
-            return llt_block_pallas(full, eps=reg.epsilon, delta=reg.delta)
+            full = a if symmetric else jnp.tril(a) + jnp.tril(a, -1).T
+            return llt_block_v4_pallas(full, eps=reg.epsilon, delta=reg.delta)
         return _panel_llt(a, reg)
     h = (b + 1) // 2
-    d1, c1, o1 = _llt_panel_recursive(a[:h, :h], reg, base)
+    d1, c1, o1 = _llt_panel_recursive(a[:h, :h], reg, base, symmetric)
     # SPD panels: ‖L₁₁⁻¹‖ ≤ √cond(A), so the explicit panel inverse (TRTRI at
     # full f32 accuracy) is numerically safe and keeps the coupling one GEMM
     l1inv = invert_lower_triangular(d1, base=h)
     l21 = matmul(None, a[h:, :h], jnp.conj(l1inv).T)
     a22 = a[h:, h:] - matmul(None, l21, jnp.conj(l21).T)
-    d2, c2, o2 = _llt_panel_recursive(a22, reg, base)
+    # a22 inherits the input's storage: garbage upper stays garbage
+    d2, c2, o2 = _llt_panel_recursive(a22, reg, base, symmetric)
     out = jnp.zeros_like(a)
     out = out.at[:h, :h].set(d1).at[h:, :h].set(l21).at[h:, h:].set(d2)
     return out, c1 + c2, o1 & o2
@@ -114,9 +120,14 @@ def llt_factor(a, *, reg: LltRegularization | None = None,
     block = params.block_size or (256 if n >= 1024 else 64 if n >= 128 else n)
     from faer_tpu.core.config import panel_kernels_enabled
 
-    base = min((params.kernel_leaf or 256) if panel_kernels_enabled(a.dtype)
-               else params.recursion_threshold,
-               block)
+    if panel_kernels_enabled(a.dtype):
+        # explicit kernel_leaf=0 is invalid, treat only None as unset; clamp
+        # to the kernel's [128, 512] useful range, rounded up to 128
+        leaf = params.kernel_leaf if params.kernel_leaf is not None else 256
+        leaf = min(max(128, ((leaf + 127) // 128) * 128), 512)
+    else:
+        leaf = params.recursion_threshold
+    base = min(leaf, block)
     count = jnp.zeros((), jnp.int32)
     ok = jnp.ones((), jnp.bool_)
 
@@ -128,7 +139,11 @@ def llt_factor(a, *, reg: LltRegularization | None = None,
     strips = []
     for k in range(0, n, block):
         bw = min(block, n - k)
-        d, c, o = _llt_panel_recursive(trail[:bw, :bw], reg, base)
+        # one cheap bw² mirror per panel; the recursion + kernels then treat
+        # the block as full-symmetric storage (no per-leaf mirrors)
+        dblk = jnp.tril(trail[:bw, :bw])
+        dblk = dblk + jnp.tril(dblk, -1).T
+        d, c, o = _llt_panel_recursive(dblk, reg, base, True)
         count, ok = count + c, ok & o
         if k + bw < n:
             linv = invert_lower_triangular(d, base=bw)

@@ -163,12 +163,12 @@ def _panel_lu_blocked(panel, base: int):
                 # tournament pivoting: the kernel's per-step cost grows
                 # superlinearly with lanes past ~2k rows
                 return _lu_leaf_calu(panel)
-            # unrolled transposed virtual-pivot kernel (v3): straight-line
-            # sub-block steps with direct row addressing — measured ~19%
-            # faster than the fori-loop v2 at (4096, 128/256)
-            from faer_tpu.ops.pallas.lu_panel_v3 import lu_panel_v3_pallas
+            # v4: v3's unrolled virtual-pivot structure + multiplier/one-hot
+            # scratch rows written at step time (no per-sub-block
+            # reconstruction passes) — see ops/pallas/leaf_v4.py
+            from faer_tpu.ops.pallas.leaf_v4 import lu_panel_v4_pallas
 
-            return lu_panel_v3_pallas(panel)
+            return lu_panel_v4_pallas(panel)
         return _panel_lu(panel)
     h = (b + 1) // 2
     left, perm1, nt1, ok1 = _panel_lu_blocked(panel[:, :h], base)

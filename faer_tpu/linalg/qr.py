@@ -251,12 +251,11 @@ def _panel_qr_blocked_classic(panel, base: int):
         from faer_tpu.core.config import panel_kernels_enabled
 
         if panel_kernels_enabled(panel.dtype) and not _dt.is_complex(panel.dtype):
-            # unrolled transposed kernel (v3): straight-line sub-block steps
-            # with direct row addressing — measured ~35% faster than the
-            # fori-loop v2 at (4096, 128) and bit-identical output
-            from faer_tpu.ops.pallas.qr_panel_v3 import qr_panel_v3_pallas
+            # v4: v3's unrolled structure + reflector-row scratch written at
+            # step time and static-slice α reads — see ops/pallas/leaf_v4.py
+            from faer_tpu.ops.pallas.leaf_v4 import qr_panel_v4_pallas
 
-            return qr_panel_v3_pallas(panel)
+            return qr_panel_v4_pallas(panel)
         return _panel_qr(panel)
     h = (b + 1) // 2
     left, taus1 = _panel_qr_blocked_classic(panel[:, :h], base)

@@ -138,6 +138,62 @@ def section_argmax():
 
 
 # ---------------------------------------------------------------------------
+# folded-layout serial chain: the m-lane column stored as (8, m/8)
+# ---------------------------------------------------------------------------
+
+def _folded_chain_kernel(a_ref, o_ref, *, mf, k, mode):
+    """Per-step ops on an (8, mf) folded column instead of (1, 8*mf)."""
+    o_ref[:] = a_ref[:]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, mf), 0)
+    lan = jax.lax.broadcasted_iota(jnp.int32, (8, mf), 1)
+    gid = sub * mf + lan                       # global lane id, unique
+
+    def body(j, acc):
+        col = o_ref[0:8, :]
+        if mode == "max":
+            mx = jnp.max(jnp.abs(col))
+            onehot = (jnp.abs(col) == mx).astype(jnp.float32)
+        elif mode == "packmax":
+            mag = jnp.abs(col)
+            bits = pltpu.bitcast(mag, jnp.int32)
+            packed = (bits & jnp.int32(~0x1FFF)) | (
+                (jnp.int32(8 * mf) - 1 - gid) & jnp.int32(0x1FFF))
+            mxp = jnp.max(packed)
+            onehot = (packed == mxp).astype(jnp.float32)
+        else:  # none
+            onehot = col * 1e-30
+        newcol = col - onehot * jnp.sum(onehot * col)
+        o_ref[0:8, :] = newcol
+        return acc + jnp.sum(onehot)
+
+    acc = jax.lax.fori_loop(jnp.int32(0), jnp.int32(k), body,
+                            jnp.zeros((), jnp.float32))
+    o_ref[8:9, 0:1] = jnp.reshape(acc, (1, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("mf", "k", "mode"))
+def folded_chain_bench(x, mf: int, k: int, mode: str):
+    kern = functools.partial(_folded_chain_kernel, mf=mf, k=k, mode=mode)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((16, mf), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(x)
+
+
+def section_folded():
+    print("== folded (8, m/8) pivot-search chain (256 steps) ==", flush=True)
+    for m in (1024, 4096):
+        mf = m // 8
+        x = jax.random.normal(jax.random.key(0), (16, mf), jnp.float32)
+        for mode in ("none", "max", "packmax"):
+            t = timeit(lambda v: dep(x, folded_chain_bench(v, mf, 256, mode)), x)
+            print(f"  m={m:5d} mode={mode:8s} {t*1e6:9.1f} us "
+                  f"({t/256*1e9:7.1f} ns/step)", flush=True)
+
+
+# ---------------------------------------------------------------------------
 # leaves
 # ---------------------------------------------------------------------------
 
