@@ -827,3 +827,46 @@ def llt_rank_r_update(l, w, alpha):
     for j in range(w.shape[1]):
         l = llt_rank_1_update(l, w[:, j], alpha)
     return l
+
+
+@jax.jit
+def ldlt_rank_1_update(ld, w, alpha):
+    """Packed LDLT factor of ``L D Lᴴ + α w wᴴ`` (faer ``ldlt/update.rs:376``).
+
+    Gill–Golub–Murray–Saunders "algorithm C1": one forward pass carrying the
+    running multiplier α_j; handles updates and downdates uniformly (the
+    result must remain nonsingular — same contract as faer's unpivoted LDLT).
+    ``ld`` packs unit-L (strict lower) with D on the diagonal; ``alpha`` may
+    be a traced scalar.
+    """
+    n = ld.shape[0]
+    rdt = dtypes.real_dtype_of(ld.dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+
+    def body(j, state):
+        ld, v, a = state
+        p = v[j]
+        dj = jnp.real(ld[j, j]).astype(rdt)
+        dj_new = dj + a * jnp.abs(p).astype(rdt) ** 2
+        safe = jnp.where(dj_new == 0, jnp.ones_like(dj_new), dj_new)
+        beta = (a * jnp.conj(p) / safe.astype(ld.dtype)
+                if dtypes.is_complex(ld.dtype) else a * p / safe)
+        a_new = a * dj / safe
+        col = ld[:, j]
+        below = rows > j
+        v_new = jnp.where(below, v - p * col, v)
+        col_new = jnp.where(below, col + (beta * v_new).astype(ld.dtype), col)
+        col_new = col_new.at[j].set(dj_new.astype(ld.dtype))
+        return ld.at[:, j].set(col_new), v_new, a_new
+
+    a0 = jnp.real(jnp.asarray(alpha)).astype(rdt)
+    ld, _, _ = jax.lax.fori_loop(0, n, body, (ld, w.astype(ld.dtype), a0))
+    return jnp.tril(ld)
+
+
+def ldlt_rank_r_update(ld, w, alpha):
+    """r sequential LDLT rank-1 updates (faer ``ldlt/update.rs:376``)."""
+    w = jnp.atleast_2d(w.T).T if w.ndim == 1 else w
+    for j in range(w.shape[1]):
+        ld = ldlt_rank_1_update(ld, w[:, j], alpha)
+    return ld

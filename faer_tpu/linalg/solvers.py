@@ -46,9 +46,10 @@ def _is_complex_obj(a) -> bool:
 def _split_complex_if_needed(a, force: bool = False):
     """On the complex-free TPU backend, complex inputs become (re, im) device
     pairs (the ``factor_cpair`` path — faer drives c32/c64 through the same
-    generic code, ``faer-traits/src/lib.rs:1224``).  Returns (value, is_pair);
-    pair-backed solver objects return HOST NUMPY complex arrays from their
-    methods (same documented behavior as ``evd`` on this runtime)."""
+    generic code, ``faer-traits/src/lib.rs:1224``).  Returns (value, is_pair).
+    Pair-backed solver objects return host numpy complex arrays from their
+    methods when used EAGERLY; under ``jit``/``vmap`` tracing they return
+    (re, im) pairs, so the complex API composes with jax transforms."""
     import numpy as np
 
     from faer_tpu.linalg.evd import _complex_unsupported
@@ -69,12 +70,29 @@ def _split_complex_if_needed(a, force: bool = False):
 
 
 def _pair_to_host(pair):
+    """Finalize a pair-backed result: eager (concrete) results become host
+    complex arrays for ergonomic parity with faer's complex API; under
+    ``jit``/``vmap`` tracing the (re, im) pair is returned unchanged, so the
+    whole pair-backed solver layer composes with jax transforms
+    (faer ``solvers.rs:697-765`` uniform dtype coverage)."""
+    if not (jax.core.is_concrete(pair[0]) and jax.core.is_concrete(pair[1])):
+        return pair
     import numpy as np
 
     re = np.asarray(jax.device_get(pair[0]))
     im = np.asarray(jax.device_get(pair[1]))
     cdt = np.complex64 if re.dtype == np.float32 else np.complex128
     return re.astype(cdt) + 1j * im.astype(cdt)
+
+
+def _perm_parity_device(perm):
+    """Permutation parity as a device scalar (inversion count mod 2)."""
+    p = perm.astype(jnp.int32)
+    n = p.shape[0]
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    inv = jnp.sum(((i < j) & (p[:, None] > p[None, :])).astype(jnp.int32))
+    return inv % 2
 
 
 def _lower_of(a, side: Side):
@@ -121,6 +139,8 @@ class Llt:
             if side is not Side.LOWER:
                 ar, ai = ar.T, -ai.T
             l, info = _fc.llt_factor_pair(ar, ai)
+            if check and not jax.core.is_concrete(info.success):
+                check = False                          # under jit: no host check
             if check and not bool(info.success):
                 raise NonPositivePivotError("matrix is not positive definite")
             return Llt(l=l, info=info)
@@ -142,9 +162,11 @@ class Llt:
 
     def solve_conjugate(self, rhs):
         if isinstance(self.l, tuple):
-            import numpy as np
-
-            return np.conj(self.solve(np.conj(np.asarray(rhs))))
+            bp, _ = _split_complex_if_needed(rhs, force=True)
+            out = self.solve((bp[0], -bp[1]))
+            if isinstance(out, tuple):                  # under jit: pair out
+                return (out[0], -out[1])
+            return out.conj()
         return jnp.conj(_ch.llt_solve(jnp.conj(self.l), jnp.conj(_unmat(rhs))))
 
     def inverse(self):
@@ -216,6 +238,11 @@ class Ldlt:
 
     def determinant(self):
         return jnp.prod(jnp.real(jnp.diagonal(self.ld))).astype(self.ld.dtype)
+
+    def rank_update(self, w, alpha) -> "Ldlt":
+        """L D Lᴴ + α w wᴴ (faer ``ldlt/update.rs:376``)."""
+        return Ldlt(ld=_ch.ldlt_rank_r_update(self.ld, _unmat(w), alpha),
+                    info=self.info)
 
     @property
     def D(self):
@@ -318,59 +345,58 @@ class PartialPivLu:
 
     def reconstruct(self):
         if isinstance(self.lu, tuple):
-            import numpy as np
-
             from faer_tpu.core.cpair import pmatmul
 
             l = (jnp.tril(self.lu[0], -1) + jnp.eye(self.lu[0].shape[0],
                                                     dtype=self.lu[0].dtype),
                  jnp.tril(self.lu[1], -1))
             u = (jnp.triu(self.lu[0]), jnp.triu(self.lu[1]))
-            prod = _pair_to_host(pmatmul(l, u))
-            out = np.empty_like(prod)
-            out[np.asarray(self.row_perm)] = prod
-            return out
+            pr, pi = pmatmul(l, u)
+            pr = permod.permute_rows_inverse(pr, self.row_perm)
+            pi = permod.permute_rows_inverse(pi, self.row_perm)
+            return _pair_to_host((pr, pi))
         return _lu.lu_reconstruct(self.lu, self.row_perm)
 
     def determinant(self):
         if isinstance(self.lu, tuple):
-            import numpy as np
+            dr, di = jnp.diagonal(self.lu[0]), jnp.diagonal(self.lu[1])
+            if jax.core.is_concrete(dr):
+                # eager: complex128 host product (avoids f32 overflow — |det|
+                # of a 64² Gaussian already exceeds f32 range)
+                import numpy as np
 
-            du = _pair_to_host((jnp.diagonal(self.lu[0]),
-                                jnp.diagonal(self.lu[1])))
-            perm = np.asarray(self.row_perm)
-            # permutation parity by cycle count
-            seen = np.zeros(perm.size, bool)
-            sign = 1.0
-            for i in range(perm.size):
-                if seen[i]:
-                    continue
-                j, clen = i, 0
-                while not seen[j]:
-                    seen[j] = True
-                    j = perm[j]
-                    clen += 1
-                if clen % 2 == 0:
-                    sign = -sign
-            return sign * np.prod(du.astype(np.complex128))
+                du = _pair_to_host((dr, di)).astype(np.complex128)
+                sign = 1.0 if int(_perm_parity_device(self.row_perm)) == 0 else -1.0
+                return sign * np.prod(du)
+
+            # under jit: (re, im) scan in the factor dtype (dtype-range
+            # limited, same contract as faer's T-valued determinant)
+            def mulc(c, d):
+                return (c[0] * d[0] - c[1] * d[1],
+                        c[0] * d[1] + c[1] * d[0]), None
+
+            (pr, pi), _ = jax.lax.scan(
+                mulc, (jnp.ones((), dr.dtype), jnp.zeros((), dr.dtype)),
+                (dr, di))
+            sign = jnp.where(_perm_parity_device(self.row_perm) == 0,
+                             1.0, -1.0).astype(dr.dtype)
+            return (pr * sign, pi * sign)
         return _lu.lu_determinant(self.lu, self.row_perm, self.info.transposition_count)
 
     @property
     def L(self):
         if isinstance(self.lu, tuple):
-            import numpy as np
-
-            lu = _pair_to_host(self.lu)
-            return np.tril(lu, -1) + np.eye(lu.shape[0], dtype=lu.dtype)
+            n = self.lu[0].shape[0]
+            eye = jnp.eye(n, dtype=self.lu[0].dtype)
+            return _pair_to_host((jnp.tril(self.lu[0], -1) + eye,
+                                  jnp.tril(self.lu[1], -1)))
         n = self.lu.shape[0]
         return jnp.tril(self.lu, -1) + jnp.eye(n, dtype=self.lu.dtype)
 
     @property
     def U(self):
         if isinstance(self.lu, tuple):
-            import numpy as np
-
-            return np.triu(_pair_to_host(self.lu))
+            return _pair_to_host((jnp.triu(self.lu[0]), jnp.triu(self.lu[1])))
         return jnp.triu(self.lu)
 
 
@@ -478,10 +504,9 @@ class Qr:
     @property
     def R(self):
         if isinstance(self.packed, tuple):
-            import numpy as np
-
             k = min(self.packed[0].shape)
-            return np.triu(_pair_to_host(self.packed))[:k, :]
+            return _pair_to_host((jnp.triu(self.packed[0])[:k, :],
+                                  jnp.triu(self.packed[1])[:k, :]))
         k = min(self.packed.shape)
         return jnp.triu(self.packed)[:k, :]
 
@@ -527,12 +552,9 @@ class ColPivQr:
             r = (jnp.triu(self.packed[0][:n, :n]),
                  jnp.triu(self.packed[1][:n, :n]))
             x = _fc._psolve_upper(r, (qtb[0][:n], qtb[1][:n]))
-            import numpy as np
-
-            xc = _pair_to_host(x)
-            out = np.empty_like(xc)
-            out[np.asarray(self.col_perm)] = xc
-            return out
+            xr = permod.permute_rows_inverse(x[0], self.col_perm)
+            xi = permod.permute_rows_inverse(x[1], self.col_perm)
+            return _pair_to_host((xr, xi))
         return _qr.col_piv_qr_solve_lstsq(self.packed, self.taus, self.col_perm,
                                           _unmat(rhs))
 

@@ -108,3 +108,22 @@ def test_llt_rank_update(dtype, alpha):
     l_up = ch.llt_rank_r_update(l, w, alpha)
     want = np.asarray(a) + alpha * np.asarray(w) @ np.conj(np.asarray(w)).T
     assert_approx_eq(ch.llt_reconstruct(l_up), want, scale=size_scale(n) * 64)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float64, jnp.complex128])
+@pytest.mark.parametrize("alpha", [1.0, -0.25])
+def test_ldlt_rank_update(dtype, alpha):
+    # faer ldlt/update.rs:376 (VERDICT r3 #10): update vs re-factor
+    key = jax.random.key(33)
+    n, r = 28, 2
+    k1, k2 = jax.random.split(key)
+    a = stats.self_adjoint_mat(k1, n, dtype) + 4.0 * jnp.eye(n, dtype=dtype)
+    w = stats.standard_normal_mat(k2, n, r, dtype) * 0.3
+    ld, _ = ch.ldlt_factor(a)
+    ld_up = ch.ldlt_rank_r_update(ld, w, alpha)
+    want = np.asarray(a) + alpha * np.asarray(w) @ np.conj(np.asarray(w)).T
+    assert_approx_eq(ch.ldlt_reconstruct(ld_up), want, scale=size_scale(n) * 64)
+    # solve through the updated factor
+    b = stats.standard_normal_mat(k2, n, 2, dtype)
+    x = ch.ldlt_solve(ld_up, b)
+    assert_approx_eq(want @ np.asarray(x), b, scale=size_scale(n) * 256)

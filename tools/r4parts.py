@@ -22,57 +22,7 @@ import jax.numpy as jnp
 from faer_tpu.utils.cache import enable_persistent_cache
 enable_persistent_cache()
 
-REPS = 5
-RTT = None
-
-
-def rtt():
-    x = jnp.zeros(())
-    f = jax.jit(lambda v: v + 1)
-    float(f(x))
-    ts = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        float(f(x))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
-
-
-def timeit(step, x0, chain=None):
-    global RTT
-    if RTT is None:
-        RTT = rtt()
-        print(f"rtt {RTT*1e3:8.3f} ms", flush=True)
-
-    def make(c):
-        @jax.jit
-        def run(x):
-            return jax.lax.fori_loop(0, c, lambda i, v: step(v), x)
-        return run
-
-    if chain is None:
-        probe = make(4)
-        float(jnp.max(jnp.abs(probe(x0))))
-        est = 9e9
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(jnp.max(jnp.abs(probe(x0))))
-            est = min(est, max((time.perf_counter() - t0 - RTT) / 4, 1e-6))
-        chain = max(4, min(4096, int(0.12 / est)))
-    run = make(chain)
-    float(jnp.max(jnp.abs(run(x0))))
-    ts = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        float(jnp.max(jnp.abs(run(x0))))
-        ts.append(time.perf_counter() - t0)
-    return (min(ts) - RTT) / chain
-
-
-def dep(base, out):
-    return base + jnp.max(jnp.abs(out)) * 1e-30
-
-
+from tools._bench_util import timeit, dep  # noqa: E402
 def section_llt():
     from faer_tpu.core.params import LltParams
     from faer_tpu.linalg.cholesky import llt_factor, _llt_panel_recursive
