@@ -43,6 +43,8 @@ def _load():
         lib.faer_col_counts.argtypes = [ctypes.c_int64, i64p, i64p, i64p, i64p]
         lib.faer_l_pattern.argtypes = [ctypes.c_int64, i64p, i64p, i64p, i64p, i64p]
         lib.faer_amd_order.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
+        lib.faer_colamd_order.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                          i64p, i64p, i64p]
         f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         lib.faer_chol_numeric.argtypes = [ctypes.c_int64, i64p, i64p, f64p,
                                           i64p, i64p, f64p, ctypes.c_int64]
@@ -225,4 +227,16 @@ def amd_order(n: int, col_ptr: np.ndarray, row_idx: np.ndarray):
     out = np.empty(n, dtype=np.int64)
     lib.faer_amd_order(n, np.ascontiguousarray(col_ptr, np.int64),
                        np.ascontiguousarray(row_idx, np.int64), out)
+    return out
+
+
+def colamd_order(m: int, n: int, col_ptr: np.ndarray, row_idx: np.ndarray):
+    """Column approximate minimum degree (rows as quotient-graph cliques,
+    faer ``colamd.rs:98``). Returns the column permutation or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(n, dtype=np.int64)
+    lib.faer_colamd_order(m, n, np.ascontiguousarray(col_ptr, np.int64),
+                          np.ascontiguousarray(row_idx, np.int64), out)
     return out

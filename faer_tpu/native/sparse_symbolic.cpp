@@ -102,33 +102,37 @@ void faer_l_pattern(int64_t n, const int64_t* col_ptr, const int64_t* row_idx,
     }
 }
 
-// Approximate minimum degree (quotient graph, element absorption, AMD-style
-// approximate external degrees, weighted SUPERVARIABLES with hash-based
-// indistinguishable-node merging + aggressive element absorption — the full
-// Amestoy-Davis-Duff algorithm, parity with faer sparse/linalg/amd.rs:903).
-// perm_out: length n.
-void faer_amd_order(int64_t n, const int64_t* col_ptr, const int64_t* row_idx,
-                    int64_t* perm_out) {
-    // symmetrized adjacency (sets as sorted vectors)
-    std::vector<std::vector<int64_t>> adj(n);
-    for (int64_t j = 0; j < n; ++j)
-        for (int64_t p = col_ptr[j]; p < col_ptr[j + 1]; ++p) {
-            int64_t i = row_idx[p];
-            if (i != j) { adj[i].push_back(j); adj[j].push_back(i); }
-        }
-    for (auto& a : adj) {
-        std::sort(a.begin(), a.end());
-        a.erase(std::unique(a.begin(), a.end()), a.end());
-    }
-
+// Quotient-graph approximate-minimum-degree core shared by AMD and COLAMD:
+// element absorption, ADD approximate external degrees, weighted
+// supervariables (hash merge) + aggressive absorption (parity with faer
+// sparse/linalg/amd.rs:903 and colamd.rs:98). ``init_elems`` seeds the
+// element set (COLAMD: each matrix ROW is a clique over the columns it
+// touches); AMD passes none and seeds plain adjacency instead.
+static void amd_core(int64_t n, std::vector<std::vector<int64_t>>& adj,
+                     std::vector<std::vector<int64_t>> init_elems,
+                     int64_t* perm_out) {
     std::vector<std::vector<int64_t>> var_elems(n);
-    std::vector<std::vector<int64_t>> elem_bound;  // element id → boundary
-    std::vector<char> elem_alive;
+    std::vector<std::vector<int64_t>> elem_bound = std::move(init_elems);
+    std::vector<char> elem_alive(elem_bound.size(), 1);
     std::vector<char> alive(n, 1);        // 0 once eliminated (output)
     std::vector<int64_t> nv(n, 1);        // supervariable weight; 0 = absorbed
     std::vector<std::vector<int64_t>> members(n);  // absorbed original ids
     std::vector<int64_t> degree(n);
-    for (int64_t v = 0; v < n; ++v) degree[v] = (int64_t)adj[v].size();
+    for (size_t e = 0; e < elem_bound.size(); ++e)
+        for (int64_t u : elem_bound[e]) var_elems[u].push_back((int64_t)e);
+    {
+        // initial external degrees: |adj(v) ∪ (∪_{e∋v} bound_e) \ {v}|
+        std::vector<int64_t> seen(n, -1);
+        for (int64_t v = 0; v < n; ++v) {
+            int64_t d = 0;
+            for (int64_t u : adj[v])
+                if (u != v && seen[u] != v) { seen[u] = v; ++d; }
+            for (int64_t e : var_elems[v])
+                for (int64_t u : elem_bound[e])
+                    if (u != v && seen[u] != v) { seen[u] = v; ++d; }
+            degree[v] = d;
+        }
+    }
 
     using QE = std::pair<int64_t, int64_t>;  // (degree, vertex)
     std::priority_queue<QE, std::vector<QE>, std::greater<QE>> heap;
@@ -294,6 +298,54 @@ void faer_amd_order(int64_t n, const int64_t* col_ptr, const int64_t* row_idx,
             }
         }
     }
+}
+
+// AMD: symmetric pattern, plain adjacency seeds (faer sparse/linalg/amd.rs:903).
+void faer_amd_order(int64_t n, const int64_t* col_ptr, const int64_t* row_idx,
+                    int64_t* perm_out) {
+    // symmetrized adjacency (sets as sorted vectors)
+    std::vector<std::vector<int64_t>> adj(n);
+    for (int64_t j = 0; j < n; ++j)
+        for (int64_t p = col_ptr[j]; p < col_ptr[j + 1]; ++p) {
+            int64_t i = row_idx[p];
+            if (i != j) { adj[i].push_back(j); adj[j].push_back(i); }
+        }
+    for (auto& a : adj) {
+        std::sort(a.begin(), a.end());
+        a.erase(std::unique(a.begin(), a.end()), a.end());
+    }
+    amd_core(n, adj, {}, perm_out);
+}
+
+// COLAMD: column ordering for LU/QR by minimum degree on the AᵀA pattern
+// WITHOUT forming it — each matrix row seeds one quotient-graph element
+// (a clique over the columns it touches), exactly faer
+// sparse/linalg/colamd.rs:98's structure. Dense rows (boundary larger than
+// 16 + 10·√n) are dropped from the seed set like COLAMD's dense-row
+// handling — they would fill everything anyway and make degree
+// initialization quadratic.
+void faer_colamd_order(int64_t m, int64_t n, const int64_t* col_ptr,
+                       const int64_t* row_idx, int64_t* perm_out) {
+    std::vector<int64_t> row_len(m, 0);
+    for (int64_t j = 0; j < n; ++j)
+        for (int64_t p = col_ptr[j]; p < col_ptr[j + 1]; ++p)
+            ++row_len[row_idx[p]];
+    int64_t dense = 16 + (int64_t)(10.0 * std::sqrt((double)n));
+    std::vector<int64_t> eid(m, -1);
+    std::vector<std::vector<int64_t>> elems;
+    for (int64_t i = 0; i < m; ++i)
+        if (row_len[i] > 1 && row_len[i] <= dense) {
+            eid[i] = (int64_t)elems.size();
+            elems.emplace_back();
+            elems.back().reserve(row_len[i]);
+        }
+    for (int64_t j = 0; j < n; ++j)
+        for (int64_t p = col_ptr[j]; p < col_ptr[j + 1]; ++p) {
+            int64_t e = eid[row_idx[p]];
+            if (e >= 0) elems[e].push_back(j);
+        }
+    std::vector<std::vector<int64_t>> adj(n);
+    amd_core(n, adj, std::move(elems), perm_out);
 }
 
 }  // extern "C"

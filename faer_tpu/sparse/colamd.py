@@ -14,9 +14,19 @@ from faer_tpu.sparse.csc import SymbolicSparseCsc
 
 
 def order(sym: SymbolicSparseCsc, control: Control | None = None):
-    """Column ordering for LU/QR: returns ``(col_perm, FlopCount)``."""
+    """Column ordering for LU/QR: returns ``(col_perm, FlopCount)``.
+
+    Dispatches to the native C++ quotient-graph COLAMD (approximate degrees,
+    supervariables, aggressive absorption — ``native/sparse_symbolic.cpp``)
+    when available; the pure-Python exact-degree heap below is the fallback.
+    """
     del control
     m, n = sym.nrows, sym.ncols
+    from faer_tpu import native
+
+    nat = native.colamd_order(m, n, sym.col_ptr, sym.row_idx)
+    if nat is not None:
+        return nat, FlopCount()
     # rows as cliques: row i connects all columns with a nonzero in row i
     row_cols = [[] for _ in range(m)]
     for j in range(n):
