@@ -25,23 +25,51 @@ class SymbolicLlt:
         return SymbolicLlt(sch.factorize_symbolic_cholesky(pattern))
 
 
+def _frontal_plan(symb: sch.SymbolicCholesky, pattern):
+    """Supernodes + batched device schedule for one pattern (cached on symb)."""
+    plan = getattr(symb, "_frontal_plan", None)
+    if plan is None:
+        from faer_tpu.sparse import supernodal as _sn
+        from faer_tpu.sparse.batched_frontal import plan_frontal
+
+        ssym = _sn.detect_supernodes(symb)
+        plan = plan_frontal(ssym, pattern)
+        symb._frontal_plan = plan
+    return plan
+
+
 class Llt:
-    """Sparse LLT solver (faer sparse ``Llt``)."""
+    """Sparse LLT solver (faer sparse ``Llt``).
+
+    ``method``: ``None`` (host auto-route: native C++ / simplicial /
+    supernodal by size) or ``"device"`` (level-scheduled batched fronts on
+    the accelerator — one dispatch per (level, size-class)).
+    """
 
     def __init__(self, symb: sch.SymbolicCholesky, l: SparseCscMat):
         self.symb = symb
         self.l = l
 
     @staticmethod
-    def new(a: SparseCscMat, side=None) -> "Llt":
+    def new(a: SparseCscMat, side=None, method: str | None = None) -> "Llt":
         symb = sch.factorize_symbolic_cholesky(a.symbolic)
+        return Llt._numeric(symb, a, method)
+
+    @staticmethod
+    def _numeric(symb, a, method):
+        if method == "device":
+            from faer_tpu.sparse.batched_frontal import factorize_frontal_llt
+
+            return Llt(symb, factorize_frontal_llt(
+                _frontal_plan(symb, a.symbolic), a))
         return Llt(symb, sch.factorize_numeric_llt(symb, a))
 
     @staticmethod
-    def try_new_with_symbolic(symbolic: SymbolicLlt, a: SparseCscMat) -> "Llt":
+    def try_new_with_symbolic(symbolic: SymbolicLlt, a: SparseCscMat,
+                              method: str | None = None) -> "Llt":
         """faer ``try_new_with_symbolic`` (``sparse/solvers.rs:95``): reuse one
         analysis across many numeric factorizations."""
-        return Llt(symbolic.symb, sch.factorize_numeric_llt(symbolic.symb, a))
+        return Llt._numeric(symbolic.symb, a, method)
 
     def solve(self, b):
         return sch.llt_solve(self.symb, self.l, b)
@@ -56,15 +84,30 @@ class Ldlt:
         self.d = d
 
     @staticmethod
-    def new(a: SparseCscMat, side=None, **regularization) -> "Ldlt":
+    def new(a: SparseCscMat, side=None, method: str | None = None,
+            **regularization) -> "Ldlt":
         symb = sch.factorize_symbolic_cholesky(a.symbolic)
+        return Ldlt._numeric(symb, a, method, regularization)
+
+    @staticmethod
+    def _numeric(symb, a, method, regularization):
+        if method == "device":
+            # supernodal LDLT on the batched device route
+            # (faer factorize_supernodal_numeric_ldlt, cholesky.rs:3287)
+            from faer_tpu.sparse.batched_frontal import factorize_frontal_ldlt
+
+            packed = factorize_frontal_ldlt(_frontal_plan(symb, a.symbolic), a)
+            ls = symb.l_symbolic
+            # packed column j starts at its diagonal entry
+            d = packed.values[np.asarray(ls.col_ptr[:-1])].copy()
+            return Ldlt(symb, packed, d.real if np.iscomplexobj(d) else d)
         l, d = sch.factorize_numeric_ldlt(symb, a, **regularization)
         return Ldlt(symb, l, d)
 
     @staticmethod
-    def try_new_with_symbolic(symbolic: SymbolicLlt, a: SparseCscMat) -> "Ldlt":
-        l, d = sch.factorize_numeric_ldlt(symbolic.symb, a)
-        return Ldlt(symbolic.symb, l, d)
+    def try_new_with_symbolic(symbolic: SymbolicLlt, a: SparseCscMat,
+                              method: str | None = None) -> "Ldlt":
+        return Ldlt._numeric(symbolic.symb, a, method, {})
 
     def solve(self, b):
         from faer_tpu.sparse.triangular_solve import (
@@ -97,6 +140,38 @@ class Lu:
 
     def solve(self, b):
         return slu.lu_solve(self.f, b)
+
+
+class Lblt:
+    """Sparse supernodal intranode Bunch-Kaufman LBLT (faer
+    ``factorize_supernodal_numeric_intranode_lblt``, ``cholesky.rs:3457``):
+    the indefinite-safe sparse factorization with 1×1/2×2 pivots restricted
+    within supernodes."""
+
+    def __init__(self, f):
+        self.f = f
+
+    @staticmethod
+    def new(a: SparseCscMat, side=None) -> "Lblt":
+        from faer_tpu.sparse.lblt import sp_lblt
+
+        return Lblt(sp_lblt(a))
+
+    @staticmethod
+    def try_new_with_symbolic(symbolic: SymbolicLlt, a: SparseCscMat) -> "Lblt":
+        from faer_tpu.sparse import supernodal as _sn
+        from faer_tpu.sparse.lblt import factorize_supernodal_intranode_lblt
+
+        ssym = getattr(symbolic.symb, "_ssym", None)
+        if ssym is None:
+            ssym = _sn.detect_supernodes(symbolic.symb)
+            symbolic.symb._ssym = ssym
+        return Lblt(factorize_supernodal_intranode_lblt(ssym, a))
+
+    def solve(self, b):
+        from faer_tpu.sparse.lblt import lblt_solve_supernodal
+
+        return lblt_solve_supernodal(self.f, b)
 
 
 class Qr:

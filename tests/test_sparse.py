@@ -369,3 +369,135 @@ def test_amd_golden_patterns(name):
     s_amd = factorize_symbolic_cholesky(sym, perm=perm)
     s_nat = factorize_symbolic_cholesky(sym, perm=np.arange(n))
     assert s_amd.l_symbolic.nnz <= s_nat.l_symbolic.nnz
+
+
+def _grid_laplacian(k):
+    """2-D k×k grid Laplacian (SPD), lower CSC."""
+    n = k * k
+    ii, jj, vv = [], [], []
+    for y in range(k):
+        for x in range(k):
+            i = y * k + x
+            ii.append(i); jj.append(i); vv.append(4.0)
+            for (dy, dx) in ((1, 0), (0, 1)):
+                y2, x2 = y + dy, x + dx
+                if y2 < k and x2 < k:
+                    j = y2 * k + x2
+                    ii.append(max(i, j)); jj.append(min(i, j)); vv.append(-1.0)
+    d = sp.coo_matrix((vv, (ii, jj)), shape=(n, n)).toarray()
+    return d + np.tril(d, -1).T  # full symmetric dense
+
+
+def test_batched_frontal_llt(rng):
+    from faer_tpu.sparse import supernodal as ssn
+    from faer_tpu.sparse.batched_frontal import (
+        factorize_frontal_llt, plan_frontal)
+
+    for a in (_rand_sparse(rng, 90, 90, 0.05, spd=True), _grid_laplacian(12)):
+        lower = SparseCscMat.from_dense(np.tril(a))
+        symb = sch.factorize_symbolic_cholesky(lower.symbolic)
+        ssym = ssn.detect_supernodes(symb)
+        plan = plan_frontal(ssym, lower.symbolic)
+        l = factorize_frontal_llt(plan, lower)
+        ld = l.to_dense()
+        papt = a[symb.perm][:, symb.perm]
+        np.testing.assert_allclose(ld @ ld.T, papt, atol=1e-8)
+        # plan reuse with new values on the same pattern
+        lower2 = SparseCscMat(lower.symbolic, lower.values * 2.0)
+        l2 = factorize_frontal_llt(plan, lower2).to_dense()
+        np.testing.assert_allclose(l2, ld * np.sqrt(2.0), atol=1e-8)
+
+
+def test_batched_frontal_ldlt_indefinite(rng):
+    from faer_tpu.sparse import supernodal as ssn
+    from faer_tpu.sparse.batched_frontal import (
+        factorize_frontal_ldlt, plan_frontal)
+
+    n = 70
+    a = _rand_sparse(rng, n, n, 0.06, spd=True)
+    # make it indefinite but still LDLT-factorizable (shift past the smallest
+    # eigenvalue so the spectrum straddles zero)
+    w0 = np.linalg.eigvalsh(a)
+    a = a - (w0.min() + 0.25 * (w0.max() - w0.min())) * np.eye(n)
+    w = np.linalg.eigvalsh(a)
+    assert w.min() < 0 < w.max()
+    lower = SparseCscMat.from_dense(np.tril(a))
+    symb = sch.factorize_symbolic_cholesky(lower.symbolic)
+    ssym = ssn.detect_supernodes(symb)
+    plan = plan_frontal(ssym, lower.symbolic)
+    ld = factorize_frontal_ldlt(plan, lower).to_dense()
+    l = np.tril(ld, -1) + np.eye(n)
+    d = np.diag(np.diag(ld))
+    papt = a[symb.perm][:, symb.perm]
+    np.testing.assert_allclose(l @ d @ l.T, papt, atol=1e-8)
+
+
+def test_supernodal_intranode_lblt(rng):
+    from faer_tpu.sparse.lblt import sp_lblt, lblt_solve_supernodal
+
+    n = 60
+    # indefinite symmetric, dominant off-diagonals (forces 2x2 pivots), with
+    # a small NONZERO diagonal: intranode pivoting cannot repair pivot blocks
+    # that are exactly singular (faer's intranode path has the same bound)
+    a = _rand_sparse(rng, n, n, 0.08)
+    a = a + a.T
+    a[np.arange(n), np.arange(n)] = 0.01 * (1.0 + rng.random(n))
+    lower = SparseCscMat.from_dense(np.tril(a))
+    f = sp_lblt(lower)
+    assert f.n_zero_pivots == 0
+    assert np.any(f.subdiag != 0)         # at least one 2x2 pivot occurred
+    b = np.asarray(rng.standard_normal((n, 3)))
+    x = lblt_solve_supernodal(f, b)
+    np.testing.assert_allclose(a @ x, b, atol=1e-8)
+    # reconstruction: L B L^H == (P A P^T) in the combined permutation
+    symb = f.ssym.base
+    nfin = symb.n
+    lfull = np.zeros((nfin, nfin))
+    inv_iperm = np.argsort(f.iperm)
+    sn_start = f.ssym.sn_start
+    for s, blk in enumerate(f.lblocks):
+        j0, j1 = int(sn_start[s]), int(sn_start[s + 1])
+        w = j1 - j0
+        lfull[j0:j1, j0:j1] = blk[:w]
+        pat = np.asarray(f.ssym.sn_rows[s])[w:]
+        if pat.size:
+            lfull[inv_iperm[pat], j0:j1] = blk[w:]
+    bmat = np.diag(f.diag)
+    for k in range(nfin):
+        if f.subdiag[k] != 0:
+            bmat[k + 1, k] = f.subdiag[k]
+            bmat[k, k + 1] = f.subdiag[k]
+    papt = a[symb.perm][:, symb.perm]
+    papt = papt[f.iperm][:, f.iperm]
+    np.testing.assert_allclose(lfull @ bmat @ lfull.T, papt, atol=1e-8)
+
+
+def test_sparse_lblt_solver_object(rng):
+    n = 50
+    a = _rand_sparse(rng, n, n, 0.1)
+    a = a + a.T
+    a[np.arange(n), np.arange(n)] = 0.05 * (1.0 + rng.random(n))
+    lower = SparseCscMat.from_dense(np.tril(a))
+    f = ssol.Lblt.new(lower)
+    b = np.asarray(rng.standard_normal(n))
+    np.testing.assert_allclose(a @ f.solve(b), b, atol=1e-8)
+    sym = ssol.SymbolicLlt.try_new(lower.symbolic)
+    f2 = ssol.Lblt.try_new_with_symbolic(sym, lower)
+    np.testing.assert_allclose(a @ f2.solve(b), b, atol=1e-8)
+
+
+def test_sparse_llt_ldlt_device_method(rng):
+    n = 64
+    a = _rand_sparse(rng, n, n, 0.08, spd=True)
+    lower = SparseCscMat.from_dense(np.tril(a))
+    b = np.asarray(rng.standard_normal(n))
+    f = ssol.Llt.new(lower, method="device")
+    np.testing.assert_allclose(a @ f.solve(b), b, atol=1e-8)
+    f2 = ssol.Ldlt.new(lower, method="device")
+    np.testing.assert_allclose(a @ f2.solve(b), b, atol=1e-8)
+    # symbolic + plan reuse
+    sym = ssol.SymbolicLlt.try_new(lower.symbolic)
+    f3 = ssol.Llt.try_new_with_symbolic(sym, lower, method="device")
+    f4 = ssol.Ldlt.try_new_with_symbolic(sym, lower, method="device")
+    np.testing.assert_allclose(a @ f3.solve(b), b, atol=1e-8)
+    np.testing.assert_allclose(a @ f4.solve(b), b, atol=1e-8)
