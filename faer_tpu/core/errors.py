@@ -83,10 +83,12 @@ class LbltInfo:
 class LuInfo:
     """Partial/full-pivot LU transposition bookkeeping.
 
-    ``transposition_count`` is defined **parity-only** (0/1): it determines
-    the determinant sign, the only observable use.  The Pallas panel path
-    (``ops/pallas/lu_panel_v2.py``) computes the permutation parity directly
-    rather than a raw swap count, so consumers must not read it as a count.
+    ``transposition_count`` is a REAL transposition count (faer
+    ``lu/partial_pivoting/factor.rs:224``): the minimal number of
+    transpositions composing the row permutation each panel actually applies
+    (``core.perm.perm_transposition_count``, n − #cycles), summed across
+    panels.  Its parity equals the sign of the overall applied permutation,
+    so determinant-sign consumers behave exactly as with faer's swap count.
     """
 
     transposition_count: Any

@@ -69,3 +69,28 @@ def swaps_to_perm(swaps):
         return perm.at[i].set(pj).at[j].set(pi)
 
     return jax.lax.fori_loop(0, n, body, jnp.arange(n, dtype=jnp.int32))
+
+
+def perm_transposition_count(perm):
+    """Minimal transposition count of the permutation ACTUALLY applied:
+    ``n − #cycles(perm)``.
+
+    faer performs in-memory row swaps and reports the swap count
+    (``lu/partial_pivoting/factor.rs:224``); the TPU kernels instead apply a
+    virtual-pivot permutation in ONE gather (pivot rows first in pivot order,
+    remainder compacted in original order), so the real count here is the
+    minimal number of transpositions composing that permutation.  Its parity
+    equals the permutation's sign — the only downstream observable (det sign)
+    — and per-panel counts stay additive because sign is multiplicative under
+    composition.  Computed with pointer-doubling cycle-min labels: O(n log n)
+    fully-vectorized work, no sequential simulation.
+    """
+    n = perm.shape[0]
+    nxt = perm.astype(jnp.int32)
+    mn = jnp.arange(n, dtype=jnp.int32)
+    for _ in range(max(1, int(n - 1).bit_length())):
+        mn = jnp.minimum(mn, jnp.take(mn, nxt))
+        nxt = jnp.take(nxt, nxt)
+    # one position per cycle holds its cycle's minimum label
+    ncyc = jnp.sum((mn == jnp.arange(n, dtype=jnp.int32)).astype(jnp.int32))
+    return (n - ncyc).astype(jnp.int32)

@@ -275,6 +275,24 @@ def triangular_eigenvectors_cpair(t):
     return xr / norms[None, :], xi / norms[None, :]
 
 
+#: route n ≥ this through the multishift+AED pair path (single-shift pays
+#: O(n) full-width sweeps per eigenvalue — impractical on chip past ~1k)
+_MULTISHIFT_MIN_N = 128
+
+
+def _schur_auto(h, q, max_sweeps_factor: int):
+    """Schur of a Hessenberg pair: multishift+AED for large n, single-shift
+    below (faer ``complex_schur.rs:631`` routes identically by size)."""
+    if h[0].shape[0] >= _MULTISHIFT_MIN_N:
+        from faer_tpu.linalg.schur_multishift_cpair import (
+            multishift_complex_schur_pair,
+        )
+
+        return multishift_complex_schur_pair(h, q,
+                                             lahqr_sweeps=max_sweeps_factor)
+    return complex_schur_pair(h, q, max_sweeps_factor=max_sweeps_factor)
+
+
 @functools.partial(jax.jit, static_argnames=("max_sweeps_factor",))
 def evd_cpair(ar, ai, *, max_sweeps_factor: int = 30):
     """General eigendecomposition of complex ``A = ar + i·ai`` as pairs —
@@ -284,7 +302,7 @@ def evd_cpair(ar, ai, *, max_sweeps_factor: int = 30):
     (``evd/mod.rs:1180``) behavior.
     """
     h, q = hessenberg_pair(ar, ai)
-    t, qs, info = complex_schur_pair(h, q, max_sweeps_factor=max_sweeps_factor)
+    t, qs, info = _schur_auto(h, q, max_sweeps_factor)
     wr = jnp.diagonal(t[0])
     wi = jnp.diagonal(t[1])
     xr, xi = triangular_eigenvectors_cpair(t)
@@ -295,5 +313,5 @@ def evd_cpair(ar, ai, *, max_sweeps_factor: int = 30):
 @functools.partial(jax.jit, static_argnames=("max_sweeps_factor",))
 def eigenvalues_cpair(ar, ai, *, max_sweeps_factor: int = 30):
     h, q = hessenberg_pair(ar, ai)
-    t, _, _ = complex_schur_pair(h, q, max_sweeps_factor=max_sweeps_factor)
+    t, _, _ = _schur_auto(h, q, max_sweeps_factor)
     return jnp.diagonal(t[0]), jnp.diagonal(t[1])

@@ -84,24 +84,6 @@ def _panel_lu(panel):
 _CALU_GROUP = 1 << 30
 
 
-def _select_front_parity(win):
-    """Parity of the 'winners to the front (in order), rest stable'
-    permutation in O(b²) (the previous all-pairs O(m²) count dominated the
-    CALU leaf cost at 4096).  ``win``: (b,) distinct winner indices.
-
-    inversions = #{t<j : win_t > win_j}                (winner–winner)
-               + Σ_t (win_t − #{j : win_j < win_t})    (winner–rest)
-    """
-    b = win.shape[0]
-    t = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
-    gt = (win[:, None] > win[None, :]).astype(jnp.int32)   # [t, j]: win_t > win_j
-    inv_within = jnp.sum(jnp.where(t < j, gt, 0))
-    smaller_winners = jnp.sum(gt, axis=1)                  # #{j: win_j < win_t}
-    inv_cross = jnp.sum(win.astype(jnp.int32) - smaller_winners)
-    return (inv_within + inv_cross) % 2
-
-
 def _lu_leaf_calu(panel, group: int = _CALU_GROUP):
     """Tournament (CALU) pivoting for a tall leaf panel (m, b).
 
@@ -143,7 +125,7 @@ def _lu_leaf_calu(panel, group: int = _CALU_GROUP):
     l21 = matmul(None, jnp.take(panel, rest, axis=0), u11inv,
                  precision=jax.lax.Precision.HIGHEST)
     packed = jnp.concatenate([packed2[:b], l21], axis=0)
-    return packed, perm, _select_front_parity(win), ok
+    return packed, perm, permod.perm_transposition_count(perm), ok
 
 
 def _panel_lu_blocked(panel, base: int):

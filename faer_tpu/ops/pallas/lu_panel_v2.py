@@ -190,14 +190,7 @@ def lu_panel_v2_pallas(panel):
                       kmax + jnp.arange(m, dtype=jnp.int32))
     perm = jnp.argsort(ranks).astype(jnp.int32)
     packed = jnp.take(virt, perm, axis=0)
-    # permutation parity (= transposition-count parity):
-    # inversions inside pidx + cross-inversions vs the ascending remainder
-    pi = pidx[:, None]
-    pj = pidx[None, :]
-    iidx = jnp.arange(kmax)
-    inv_within = jnp.sum(((iidx[:, None] < iidx[None, :]) & (pi > pj))
-                         .astype(jnp.int32))
-    less_count = jnp.sum((pj < pi).astype(jnp.int32), axis=1)  # over all i
-    cross = jnp.sum(pidx - less_count)
-    nt = (inv_within + cross).astype(jnp.int32) % 2
+    from faer_tpu.core.perm import perm_transposition_count
+
+    nt = perm_transposition_count(perm)
     return packed, perm, nt, okf[0, 0] != 0

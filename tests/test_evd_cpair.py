@@ -96,3 +96,42 @@ def test_qz_pair_generalized_schur(n):
     ben = np.asarray(be[0], np.float64) + 1j * np.asarray(be[1], np.float64)
     pen = np.linalg.norm(an @ V * ben[None, :] - bn @ V * aln[None, :])
     assert pen < 1e-4 * max(1.0, np.linalg.norm(an))
+
+
+def test_multishift_complex_schur_pair():
+    from faer_tpu.linalg.evd_cpair import hessenberg_pair
+    from faer_tpu.linalg.schur_multishift_cpair import (
+        multishift_complex_schur_pair)
+
+    rng = np.random.default_rng(7)
+    n = 160
+    an = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    h, q = hessenberg_pair(jnp.asarray(an.real, jnp.float32),
+                           jnp.asarray(an.imag, jnp.float32))
+    t, qq, info = multishift_complex_schur_pair(h, q, ns=16, w=24)
+    assert bool(info.converged)
+    T = np.asarray(t[0], np.float64) + 1j * np.asarray(t[1], np.float64)
+    Q = np.asarray(qq[0], np.float64) + 1j * np.asarray(qq[1], np.float64)
+    assert np.allclose(np.tril(T, -1), 0)
+    scale = np.linalg.norm(an)
+    assert np.linalg.norm(Q @ T @ Q.conj().T - an) < 2e-4 * scale
+    assert np.max(np.abs(Q @ Q.conj().T - np.eye(n))) < 1e-4
+    werr = np.max(np.abs(np.sort_complex(np.diag(T))
+                         - np.sort_complex(np.linalg.eigvals(an))))
+    assert werr < 5e-3 * np.max(np.abs(np.diag(T)))
+
+
+def test_evd_cpair_routes_multishift():
+    # n >= 128 goes through the multishift+AED pair path
+    from faer_tpu.linalg.evd_cpair import evd_cpair
+
+    rng = np.random.default_rng(8)
+    n = 130
+    an = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    (wr, wi), (vr, vi), info = evd_cpair(jnp.asarray(an.real, jnp.float32),
+                                         jnp.asarray(an.imag, jnp.float32))
+    assert bool(info.converged)
+    w = np.asarray(wr, np.float64) + 1j * np.asarray(wi, np.float64)
+    v = np.asarray(vr, np.float64) + 1j * np.asarray(vi, np.float64)
+    resid = np.linalg.norm(an @ v - v * w[None, :])
+    assert resid < 2e-3 * np.linalg.norm(an)

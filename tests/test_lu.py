@@ -135,3 +135,48 @@ def test_full_piv_lu_blocked_multiblock(m, n):
     pn = np.asarray(packed)
     k = min(m, n)
     assert np.abs(np.tril(pn, -1)[:, :k]).max() <= 1.0 + 1e-12
+
+
+def test_perm_transposition_count_exact(rng):
+    # pointer-doubling count == n - #cycles (direct cycle walk), and its
+    # parity == sign of the permutation matrix
+    import jax.numpy as jnp
+    from faer_tpu.core.perm import perm_transposition_count
+
+    def cycles(p):
+        seen = np.zeros(len(p), bool)
+        c = 0
+        for i in range(len(p)):
+            if not seen[i]:
+                c += 1
+                j = i
+                while not seen[j]:
+                    seen[j] = True
+                    j = p[j]
+        return c
+
+    for _ in range(25):
+        m = int(rng.integers(2, 60))
+        p = rng.permutation(m)
+        got = int(perm_transposition_count(jnp.asarray(p, jnp.int32)))
+        assert got == m - cycles(p), (p,)
+        assert (-1.0) ** got == np.linalg.det(np.eye(m)[p]).round()
+
+
+def test_lu_transposition_count_det_sign(rng):
+    # real counts from the kernel path; parity must match the det sign
+    import jax.numpy as jnp
+    from faer_tpu.linalg.lu import lu_in_place
+
+    for n in (192, 512):  # single-panel and multi-panel (cross-panel sums)
+        a = np.asarray(rng.standard_normal((n, n)), np.float32)
+        lu, perm, info = lu_in_place(jnp.asarray(a))
+        nt = int(info.transposition_count)
+        assert nt >= 0
+        # parity equals the applied permutation's parity ...
+        pm = np.eye(n)[np.asarray(perm)]
+        assert (-1.0) ** nt == np.linalg.det(pm).round()
+        # ... so the det sign comes out right (slogdet: |det| overflows f64)
+        sign_np, _ = np.linalg.slogdet(a.astype(np.float64))
+        prod_sign = np.prod(np.sign(np.diag(np.asarray(lu, np.float64))))
+        assert (-1.0) ** nt * prod_sign == sign_np
