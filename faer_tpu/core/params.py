@@ -41,9 +41,9 @@ class LltParams:
     """faer ``LltParams`` (``cholesky/llt/factor.rs:40``).
 
     ``kernel_leaf``: leaf width handed to the Pallas LLT block kernel.
-    ``None`` (the default, also what ``auto()`` produces) means 256 — the
-    fastest leaf measured on v5e (the 512 single-kernel leaf loses to the
-    256-leaf + GEMM-coupling recursion, tools/r4parts.py round 4). Explicit
+    ``None`` (the default, also what ``auto()`` produces) means 128 — the
+    fastest leaf measured on v5e with the v4 kernel (29 µs/leaf vs 72 µs at
+    256; full 4096 factor 2.24 ms vs 2.94 ms — tools/r4lab2.py). Explicit
     values are clamped to [128, 512] and rounded up to a multiple of 128 at
     the use site.
     """
@@ -81,10 +81,15 @@ class LbltParams:
 
 @dataclasses.dataclass(frozen=True)
 class PartialPivLuParams:
-    """faer ``PartialPivLuParams`` (``lu/partial_pivoting/factor.rs:190``)."""
+    """faer ``PartialPivLuParams`` (``lu/partial_pivoting/factor.rs:190``).
+
+    ``kernel_leaf``: width handed to the Pallas LU panel kernel (``None`` =
+    the measured v5e default, see ``lu_in_place``); clamped to [128, 512].
+    """
 
     block_size: int | None = None
     recursion_threshold: int = 64
+    kernel_leaf: int | None = None
 
     @staticmethod
     def auto(dtype=jnp.float32, shape=None) -> "PartialPivLuParams":
@@ -102,9 +107,14 @@ class FullPivLuParams:
 
 @dataclasses.dataclass(frozen=True)
 class QrParams:
-    """faer ``QrParams`` (``qr/no_pivoting/factor.rs:119``)."""
+    """faer ``QrParams`` (``qr/no_pivoting/factor.rs:119``).
+
+    ``kernel_leaf``: width handed to the Pallas QR panel kernel (``None`` =
+    the measured v5e default, see ``qr_in_place``); clamped to [128, 512].
+    """
 
     block_size: int | None = None
+    kernel_leaf: int | None = None
     # faer: recommended_block_size heuristic (factor.rs:91)
 
     @staticmethod

@@ -122,8 +122,10 @@ def llt_factor(a, *, reg: LltRegularization | None = None,
 
     if panel_kernels_enabled(a.dtype):
         # explicit kernel_leaf=0 is invalid, treat only None as unset; clamp
-        # to the kernel's [128, 512] useful range, rounded up to 128
-        leaf = params.kernel_leaf if params.kernel_leaf is not None else 256
+        # to the kernel's [128, 512] useful range, rounded up to 128.
+        # 128 measured fastest on v5e (29 µs/leaf vs 72 µs at 256; full 4096
+        # factor 2.24 ms at leaf 128 vs 2.94 ms at 256 — tools/r4lab2.py)
+        leaf = params.kernel_leaf if params.kernel_leaf is not None else 128
         leaf = min(max(128, ((leaf + 127) // 128) * 128), 512)
     else:
         leaf = params.recursion_threshold
@@ -148,6 +150,14 @@ def llt_factor(a, *, reg: LltRegularization | None = None,
         if k + bw < n:
             linv = invert_lower_triangular(d, base=bw)
             l21 = matmul(None, trail[bw:, :bw], jnp.conj(linv).T)
+            # NOTE on syrk: faer's trailing update is a true SYRK (lower
+            # tiles only).  A Pallas lower-tile kernel exists
+            # (ops/pallas/syrk_kernel.syrk_lower_sub) but measured SLOWER
+            # than the full XLA GEMM on v5e (0.190 vs 0.179 ms at m=3840
+            # k=256; 0.041 vs 0.026 ms at m=2048 — tools/r4syrk.py): the
+            # update is HBM-bound at these shapes, so halving MXU flops
+            # buys nothing while the tile-pair grid loses the plain GEMM's
+            # pipelining.  Kept unwired, like CALU/CholeskyQR2.
             trail = trail[bw:, bw:] - matmul(None, l21, jnp.conj(l21).T)
             strip = jnp.concatenate([jnp.tril(d), l21], axis=0)
         else:

@@ -191,8 +191,12 @@ def lu_in_place(a, params: PartialPivLuParams | None = None):
     # leaf width 256 measured ~5% faster than 128 at (4096, 512) panels
     # (one fewer coupling level); a single 512-wide kernel is slower (1.55 vs
     # 1.06 ms) — the GEMM couplings beat in-kernel chunked rank-8 updates
-    base = min(256 if panel_kernels_enabled(a.dtype) else params.recursion_threshold,
-               block)
+    if panel_kernels_enabled(a.dtype):
+        leaf = params.kernel_leaf if params.kernel_leaf is not None else 256
+        leaf = min(max(128, ((leaf + 127) // 128) * 128), 512)
+    else:
+        leaf = params.recursion_threshold
+    base = min(leaf, block)
     perm = jnp.arange(m, dtype=jnp.int32)
     nt = jnp.zeros((), jnp.int32)
     ok = jnp.ones((), jnp.bool_)

@@ -277,7 +277,11 @@ def _qr_in_place_impl(a, params: QrParams):
     block = _qr_block(kmax, params)
     from faer_tpu.core.config import panel_kernels_enabled
 
-    base = 128 if panel_kernels_enabled(a.dtype) else 32
+    if panel_kernels_enabled(a.dtype):
+        leaf = params.kernel_leaf if params.kernel_leaf is not None else 128
+        base = min(max(128, ((leaf + 127) // 128) * 128), 512)
+    else:
+        base = 32
     t_stack = []
 
     # right-looking over a shrinking trail (rows k:, cols k:); each panel's

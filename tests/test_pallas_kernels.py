@@ -171,3 +171,21 @@ def test_lu_panel_v2_interpret(monkeypatch):
     # partial pivoting: multipliers bounded by 1
     assert np.abs(np.tril(pn, -1)).max() <= 1.0 + 1e-6
     lpv2.lu_panel_v2_pallas._clear_cache()
+
+
+@pytest.mark.parametrize("m,k", [(256, 128), (300, 200), (512, 512)])
+def test_syrk_lower_sub_interpret(m, k, monkeypatch):
+    # lower tiles must equal C - A@A.T; strict upper is unspecified
+    import faer_tpu.ops.pallas.syrk_kernel as sk
+
+    _interp(monkeypatch, sk)
+    sk._syrk_padded.clear_cache()
+    rng = np.random.default_rng(7)
+    c = jnp.asarray(rng.standard_normal((m, m)), jnp.float32)
+    a = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    got = np.asarray(sk.syrk_lower_sub(c, a, bm=128, bk=128))
+    want = np.asarray(c, np.float64) - (
+        np.asarray(a, np.float64) @ np.asarray(a, np.float64).T)
+    assert_approx_eq(np.tril(got), np.tril(want),
+                     scale=size_scale(k) * 8, tol_dtype=jnp.float32)
+    sk._syrk_padded.clear_cache()
