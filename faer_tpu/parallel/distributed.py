@@ -808,3 +808,105 @@ def block_cyclic_qr_lstsq(packed, t_stack, b_rhs, mesh: Mesh, *,
         qtb = fn(p_local, b_rhs)
     r = jnp.triu(packed)[:n, :]
     return _dist_upper_solve(r, qtb[:n], mesh, axis=axis, block=block)
+
+
+def block_cyclic_qr_2d(a, mesh: Mesh, *, row_axis: str = "pr",
+                       col_axis: str = "pc", block: int = 32):
+    """Distributed blocked Householder QR over a 2-D BLOCK-CYCLIC layout
+    (ScaLAPACK ``pdgeqrf`` structure): block (i, j) on device
+    (i mod pr, j mod pc).  Per panel g: one ``psum`` over ``pc`` ships the
+    owner column's strip, one ``psum`` over ``pr`` assembles the global
+    (m, b) panel, every device factors the active sub-panel redundantly
+    (cheaper than shipping V + T back), and the trailing block-reflector
+    apply is ONE partial-GEMM + ``psum`` over ``pr`` (W = VᴴA needs the full
+    row space) followed by a local rank-b update — communication per panel
+    is O(m·b + b·n/pc) instead of the 1-D layout's full column traffic, and
+    the O(mnb) trailing flops split pr·pc ways.
+
+    Returns ``(packed, t_stack)`` replicated — R in the upper triangle,
+    reflector tails below, compact-WY T per panel (same contract as
+    ``linalg.qr.qr_in_place``).  Requires ``m % (block·pr) == 0`` and
+    ``n % (block·pc) == 0`` and ``m >= n``.
+
+    Reference parity: faer blocked QR ``qr/no_pivoting/factor.rs:258`` with
+    the panel/trailing split distributed as in ScaLAPACK pdgeqrf.
+    """
+    from faer_tpu.linalg.qr import _extract_v, _panel_qr_blocked
+    from faer_tpu.ops.householder import form_block_t
+
+    m, n = a.shape
+    assert m >= n, (m, n)
+    pr = mesh.shape[row_axis]
+    pc = mesh.shape[col_axis]
+    assert m % (block * pr) == 0 and n % (block * pc) == 0, (m, n, block,
+                                                             pr, pc)
+    mblocks = m // block
+    nblocks = n // block
+    lbr = mblocks // pr
+    lbc = nblocks // pc
+    m_loc = lbr * block
+    rows_iota = jnp.arange(m, dtype=_i32)
+
+    def body(a_loc):
+        r = jax.lax.axis_index(row_axis)
+        c = jax.lax.axis_index(col_axis)
+        gi = jnp.arange(lbr, dtype=_i32) * pr + r
+        gj = jnp.arange(lbc, dtype=_i32) * pc + c
+        colmask_g = jnp.repeat(gj, block)
+        grow_ids = (gi[:, None] * block
+                    + jnp.arange(block, dtype=_i32)[None, :]).reshape(-1)
+        ts0 = jnp.zeros((nblocks, block, block), a_loc.dtype)
+
+        def panel_step(g, st):
+            a_loc, ts = st
+            coln = g % pc
+            lc = g // pc
+            shift = g * block
+
+            # 1. ship owner column's strip across device columns
+            strip = jax.lax.dynamic_slice(a_loc, (0, lc * block),
+                                          (m_loc, block))
+            strip = jnp.where(c == coln, strip, jnp.zeros_like(strip))
+            strip = jax.lax.psum(strip, col_axis)
+            # 2. assemble the global (m, b) panel over device rows
+            panel = jnp.zeros((m, block), a_loc.dtype).at[grow_ids].set(strip)
+            panel = jax.lax.psum(panel, row_axis)
+            # 3. factor the active sub-panel redundantly (rows >= shift)
+            act = (rows_iota < m - shift)[:, None]
+            sub = jnp.where(act, jnp.roll(panel, -shift, axis=0), 0)
+            packed_sub, taus = _panel_qr_blocked(sub, 32)
+            v_sub = _extract_v(packed_sub, block)
+            t = form_block_t(v_sub, taus)
+            ts = jax.lax.dynamic_update_slice(ts, t[None], (g, 0, 0))
+            # global-coordinate V: zero above the panel head
+            v_glob = jnp.roll(jnp.where(act, v_sub, 0), shift, axis=0)
+            v_glob = jnp.where((rows_iota >= shift)[:, None], v_glob, 0)
+            # 4. store the finished panel back on its owner column
+            back = jnp.roll(jnp.where(act, packed_sub, 0), shift, axis=0)
+            new_panel = jnp.where((rows_iota >= shift)[:, None], back, panel)
+            mine = jnp.take(new_panel, grow_ids, axis=0)
+            stored = jax.lax.dynamic_update_slice(a_loc, mine,
+                                                  (0, lc * block))
+            a_loc = jnp.where(c == coln, stored, a_loc)
+            # 5. trailing apply: W = Tᴴ (Vᴴ A_tail) — partial per device row,
+            # one psum over pr; then the rank-b update runs locally
+            v_loc = jnp.take(v_glob, grow_ids, axis=0)    # (m_loc, b)
+            keepc = (colmask_g > g)[None, :]
+            tail = jnp.where(keepc, a_loc, 0)
+            w = jax.lax.psum(matmul(None, jnp.conj(v_loc).T, tail), row_axis)
+            upd = matmul(None, v_loc, matmul(None, jnp.conj(t).T, w))
+            return jnp.where(keepc, a_loc - upd, a_loc), ts
+
+        return jax.lax.fori_loop(0, nblocks, panel_step, (a_loc, ts0))
+
+    from faer_tpu.core.config import platform_scope
+
+    a2 = _cyclic_to_local(a, nblocks, pc, block)
+    a2 = _cyclic_rows_to_local(a2, mblocks, pr, block)
+    fn = _shard_map(body, mesh, P(row_axis, col_axis),
+                    (P(row_axis, col_axis), P()))
+    with platform_scope(mesh.devices.flat[0].platform):
+        out_local, t_stack = fn(a2)
+    packed = _local_rows_to_cyclic(out_local, mblocks, pr, block)
+    packed = _local_to_cyclic(packed, nblocks, pc, block)
+    return packed, t_stack

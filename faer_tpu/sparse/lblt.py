@@ -208,6 +208,11 @@ def factorize_supernodal_intranode_lblt(
             f[np.searchsorted(pat, ri[keep]), j - j0] = ap.values[r][keep]
         for crows, cupd in contribs[s]:
             pp = np.searchsorted(pat, crows)
+            if pp.size and (pp[-1] >= pat.size
+                            or not np.array_equal(pat[pp], crows)):
+                raise ValueError(
+                    "supernodal symbolic inconsistency: child update rows "
+                    "missing from parent front pattern")
             f[np.ix_(pp, pp)] += cupd
         contribs[s] = []
         f = np.tril(f) + np.conj(np.tril(f, -1)).T

@@ -28,14 +28,23 @@ class SymbolicLlt:
 def _frontal_plan(symb: sch.SymbolicCholesky, pattern):
     """Supernodes + batched device schedule for one pattern (cached on symb)."""
     plan = getattr(symb, "_frontal_plan", None)
-    if plan is None:
-        from faer_tpu.sparse import supernodal as _sn
-        from faer_tpu.sparse.batched_frontal import plan_frontal
+    key = (id(pattern.col_ptr), id(pattern.row_idx))
+    if plan is not None:
+        # the cached plan's scatter indices are pattern-specific: verify the
+        # pattern is the one the plan was built for before reusing
+        cached_key, cached_cp, cached_ri, plan_obj = plan
+        if key == cached_key or (
+                np.array_equal(cached_cp, pattern.col_ptr)
+                and np.array_equal(cached_ri, pattern.row_idx)):
+            return plan_obj
+    from faer_tpu.sparse import supernodal as _sn
+    from faer_tpu.sparse.batched_frontal import plan_frontal
 
-        ssym = _sn.detect_supernodes(symb)
-        plan = plan_frontal(ssym, pattern)
-        symb._frontal_plan = plan
-    return plan
+    ssym = _sn.detect_supernodes(symb)
+    plan_obj = plan_frontal(ssym, pattern)
+    symb._frontal_plan = (key, np.asarray(pattern.col_ptr),
+                          np.asarray(pattern.row_idx), plan_obj)
+    return plan_obj
 
 
 class Llt:
@@ -92,6 +101,12 @@ class Ldlt:
     @staticmethod
     def _numeric(symb, a, method, regularization):
         if method == "device":
+            if regularization:
+                raise ValueError(
+                    "method='device' does not support dynamic regularization "
+                    "yet; use the host path (method=None) for regularized "
+                    "LDLT, or drop the regularization kwargs: "
+                    f"{sorted(regularization)}")
             # supernodal LDLT on the batched device route
             # (faer factorize_supernodal_numeric_ldlt, cholesky.rs:3287)
             from faer_tpu.sparse.batched_frontal import factorize_frontal_ldlt

@@ -189,3 +189,31 @@ def test_block_cyclic_lu_2d():
     l = np.tril(lun, -1) + np.eye(n)
     rec = np.abs(l @ np.triu(lun) - an[np.asarray(perm)]).max()
     assert rec < 1e-4, rec
+
+
+def test_block_cyclic_qr_2d():
+    """2-D block-cyclic QR (pdgeqrf structure) on a 2x4 CPU mesh."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from faer_tpu.linalg.qr import qr_reconstruct
+    from faer_tpu.parallel.distributed import (
+        block_cyclic_qr_2d,
+        block_cyclic_qr_lstsq,
+    )
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("pr", "pc"))
+    m, n = 96, 64
+    a = stats.standard_normal_mat(jax.random.key(11), m, n, jnp.float64)
+    packed, t_stack = block_cyclic_qr_2d(a, mesh, block=16)
+    rec = qr_reconstruct(packed, t_stack, 16)
+    assert_approx_eq(np.asarray(rec), np.asarray(a), scale=size_scale(m) * 16)
+    # packed/T contract matches the 1-D layout's lstsq consumer
+    mesh1 = Mesh(np.array(jax.devices()[:4]), ("p",))
+    b = stats.standard_normal_mat(jax.random.key(12), m, 2, jnp.float64)
+    packed1 = jnp.asarray(np.asarray(packed))
+    t1 = jnp.asarray(np.asarray(t_stack))
+    x = block_cyclic_qr_lstsq(packed1, t1, b, mesh1, block=16)
+    xr = np.linalg.lstsq(np.asarray(a), np.asarray(b), rcond=None)[0]
+    assert_approx_eq(np.asarray(x), xr, scale=size_scale(m) * 256)
