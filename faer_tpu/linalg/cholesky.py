@@ -137,12 +137,16 @@ def llt_factor(a, *, reg: LltRegularization | None = None,
     # the next trail IS the carried value, and finished panels are stacked as
     # column strips at the end — no dynamic_update_slice round-trips through
     # the full n² buffer (those cost a full-matrix copy each on XLA)
+    use_v5 = (panel_kernels_enabled(a.dtype) and n > block
+              and n % 128 == 0 and block % 128 == 0)
+    if use_v5:
+        return _llt_factor_v5(a, reg, block, count, ok)
     trail = a
     strips = []
     for k in range(0, n, block):
         bw = min(block, n - k)
-        # one cheap bw² mirror per panel; the recursion + kernels then treat
-        # the block as full-symmetric storage (no per-leaf mirrors)
+        # one cheap bw² mirror per panel; the recursion + kernels then
+        # treat the block as full-symmetric storage (no per-leaf mirrors)
         dblk = jnp.tril(trail[:bw, :bw])
         dblk = dblk + jnp.tril(dblk, -1).T
         d, c, o = _llt_panel_recursive(dblk, reg, base, True)
@@ -156,8 +160,8 @@ def llt_factor(a, *, reg: LltRegularization | None = None,
             # than the full XLA GEMM on v5e (0.190 vs 0.179 ms at m=3840
             # k=256; 0.041 vs 0.026 ms at m=2048 — tools/r4syrk.py): the
             # update is HBM-bound at these shapes, so halving MXU flops
-            # buys nothing while the tile-pair grid loses the plain GEMM's
-            # pipelining.  Kept unwired, like CALU/CholeskyQR2.
+            # buys nothing while the tile-pair grid loses the plain
+            # GEMM's pipelining.  Kept unwired, like CALU/CholeskyQR2.
             trail = trail[bw:, bw:] - matmul(None, l21, jnp.conj(l21).T)
             strip = jnp.concatenate([jnp.tril(d), l21], axis=0)
         else:
@@ -168,6 +172,65 @@ def llt_factor(a, *, reg: LltRegularization | None = None,
         strips.append(strip)
 
     l = strips[0] if len(strips) == 1 else jnp.concatenate(strips, axis=1)
+    return l, LltInfo(dynamic_regularization_count=count, success=ok)
+
+
+def _llt_factor_v5(a, reg, block: int, count, ok):
+    """Round-5 f32 LLT driver: fused v5 panels + two-level SYRK-shaped
+    trailing updates.
+
+    Structure (the round-4 verdict's #1 ask): a panel step is exactly TWO
+    dispatches — the fused Pallas panel (mirror + factor + TRSM in one
+    ``pallas_call``, 58 µs at (4096, 256) sb=32) and one trailing GEMM.
+    The trailing matrix is carried as ``ob``-wide COLUMN STRIPS, each
+    holding only its rows at-and-below the diagonal block; after an outer
+    block factors, every later strip gets one exact-size rank-``ob`` GEMM —
+    so (a) trailing HBM traffic is 2n³/(3·ob) bytes instead of 2n³/(3·block)
+    and (b) no flops are spent above the diagonal at outer granularity (the
+    faer trailing update is a true SYRK, ``cholesky/ldlt/factor.rs:499``;
+    the previous full-square GEMM spent 2× the flops).  Measured: 2.80 ms →
+    1.63 ms at 4096² f32 with the single-level version; this version removes
+    the remaining ~0.25 ms of above-diagonal outer flops.
+    """
+    from faer_tpu.ops.pallas.llt_panel_v5 import llt_panel_v5_pallas
+
+    n = a.shape[0]
+    ob = max(block, 1024) if n >= 2048 else block
+    starts = list(range(0, n, ob))
+    # strip j: rows K_j.., cols [K_j, K_j+ob) — only the at/below-diagonal
+    # rows exist, so every update GEMM is exact-size
+    strips_t = [a[K:, K:min(K + ob, n)] for K in starts]
+    out = []
+    for J, K in enumerate(starts):
+        obw = strips_t[J].shape[1]
+        pblock = strips_t[J]                        # (n-K, obw)
+        inner = []
+        for k in range(0, obw, block):
+            bw = min(block, obw - k)
+            strip, c, o = llt_panel_v5_pallas(
+                pblock[:, :bw], eps=reg.epsilon, delta=reg.delta)
+            count, ok = count + c, ok & o
+            w2 = obw - k - bw
+            if w2 > 0:
+                l21 = strip[bw:]
+                # remaining block-column update: cols k+bw..obw correspond
+                # to the first w2 rows of L21
+                pblock = pblock[bw:, bw:] - matmul(None, l21, l21[:w2].T)
+            if k > 0:
+                strip = jnp.concatenate(
+                    [jnp.zeros((k, bw), a.dtype), strip], axis=0)
+            inner.append(strip)
+        lblock = inner[0] if len(inner) == 1 else jnp.concatenate(inner, 1)
+        for j in range(J + 1, len(starts)):
+            r0 = starts[j] - K                      # strip j's first row
+            wj = strips_t[j].shape[1]
+            strips_t[j] = strips_t[j] - matmul(
+                None, lblock[r0:], lblock[r0:r0 + wj].T)
+        if K > 0:
+            lblock = jnp.concatenate(
+                [jnp.zeros((K, obw), a.dtype), lblock], axis=0)
+        out.append(lblock)
+    l = out[0] if len(out) == 1 else jnp.concatenate(out, axis=1)
     return l, LltInfo(dynamic_regularization_count=count, success=ok)
 
 

@@ -299,11 +299,27 @@ def qz_iteration_pair(h, r, q, z, *, max_sweeps_factor: int = 30):
                                                       iterations=it)
 
 
+#: route n ≥ this through multishift+AED QZ (single-shift pays O(n)
+#: full-width sweeps per generalized eigenvalue — impractical past ~1k)
+_MULTISHIFT_MIN_N = 128
+
+
 @functools.partial(jax.jit, static_argnames=("max_sweeps_factor",))
 def qz_pair(ar, ai, br, bi, *, max_sweeps_factor: int = 30):
     """Full generalized Schur over pairs: (S, T, Q, Z, info) with
-    ``A = Q S Zᴴ``, ``B = Q T Zᴴ`` — jittable on the complex-free TPU."""
+    ``A = Q S Zᴴ``, ``B = Q T Zᴴ`` — jittable on the complex-free TPU.
+
+    Large pencils route through the batched multishift+AED QZ
+    (:mod:`~faer_tpu.linalg.qz_multishift_cpair`, faer
+    ``qz_cplx/mod.rs:1140`` parity); small ones use the single-shift
+    Moler–Stewart iteration above.
+    """
     h, r, q, z = hessenberg_triangular_pair((ar, ai), (br, bi))
+    if ar.shape[0] >= _MULTISHIFT_MIN_N:
+        from faer_tpu.linalg.qz_multishift_cpair import multishift_qz_pair
+
+        return multishift_qz_pair(h, r, q, z,
+                                  lahqr_sweeps=max_sweeps_factor)
     return qz_iteration_pair(h, r, q, z, max_sweeps_factor=max_sweeps_factor)
 
 
