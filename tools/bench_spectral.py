@@ -5,8 +5,11 @@ Timing: data-dependent chains inside one jitted program are impractical for
 multi-second spectral dispatches; instead each timing is a forced host read
 with the measured tunnel RTT subtracted, repeated, best-of-k.
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
