@@ -18,19 +18,24 @@ from faer_tpu.matrix_free.operator import (
     FnLinOp,
     IdentityPrecond,
     LinOp,
+    PairDenseLinOp,
     aslinop,
+    aslinop_pair,
 )
 from faer_tpu.matrix_free.cg import conjugate_gradient
 from faer_tpu.matrix_free.bicgstab import bicgstab
 from faer_tpu.matrix_free.lsmr import lsmr
 from faer_tpu.matrix_free.eigen import (
     partial_eigen,
+    partial_eigen_cpair,
     partial_self_adjoint_eigen,
     partial_svd,
 )
 
 __all__ = [
     "LinOp", "DenseLinOp", "DiagLinOp", "FnLinOp", "IdentityPrecond", "aslinop",
+    "PairDenseLinOp", "aslinop_pair",
     "conjugate_gradient", "bicgstab", "lsmr",
-    "partial_eigen", "partial_self_adjoint_eigen", "partial_svd",
+    "partial_eigen", "partial_eigen_cpair", "partial_self_adjoint_eigen",
+    "partial_svd",
 ]

@@ -304,35 +304,217 @@ def partial_eigen_pair(a, k: int, *, v0=None, m: int | None = None,
                                    max_restarts=max_restarts)
 
 
+# ---------------------------------------------------------------------------
+# split-pair COMPLEX Krylov–Schur (faer partial_schur_cplx_imp, mod.rs:722)
+# ---------------------------------------------------------------------------
+
+
+def _porth_step(v_pair, j_cols, w_pair):
+    """Two-pass classical Gram-Schmidt over pairs: orthogonalize the (n,)
+    pair ``w`` against the masked columns of the (n, mb) pair basis."""
+    from faer_tpu.core.cpair import cadd, csub, padjoint, pmatmul
+
+    mask = j_cols[None, :].astype(v_pair[0].dtype)
+    vb = (v_pair[0] * mask, v_pair[1] * mask)
+    w = (w_pair[0][:, None], w_pair[1][:, None])
+    h1 = pmatmul(padjoint(vb), w)
+    w = csub(w, pmatmul(vb, h1))
+    h2 = pmatmul(padjoint(vb), w)
+    w = csub(w, pmatmul(vb, h2))
+    return (w[0][:, 0], w[1][:, 0]), cadd(h1, h2)
+
+
+def _arnoldi_extend_cpair(op, v_pair, h_pair, start: int, m: int):
+    """Pair twin of ``_arnoldi_extend``: v (n, m+1) pair, h (m+1, m) pair."""
+    rdt = v_pair[0].dtype
+    mb = m + 1
+    n = v_pair[0].shape[0]
+    eps = dtypes.eps(rdt)
+
+    def nrm(w):
+        return jnp.sqrt(jnp.sum(w[0] * w[0] + w[1] * w[1]))
+
+    def body(j, carry):
+        v, h = carry
+        vj = (jax.lax.dynamic_slice_in_dim(v[0], j, 1, axis=1),
+              jax.lax.dynamic_slice_in_dim(v[1], j, 1, axis=1))
+        w2 = op.apply(vj)
+        w = (w2[0][:, 0], w2[1][:, 0])
+        pre = nrm(w)
+        sel = jnp.arange(mb) <= j
+        w, hj = _porth_step(v, sel, w)
+        beta = nrm(w)
+        breakdown = beta <= 64 * eps * jnp.maximum(pre, jnp.ones_like(pre))
+        probe = (jnp.zeros((n,), rdt).at[(13 * j + 1) % n].set(1),
+                 jnp.zeros((n,), rdt))
+        t, _ = _porth_step(v, sel, probe)
+        tn = nrm(t)
+        tsafe = jnp.where(tn == 0, jnp.ones_like(tn), tn)
+        t = (t[0] / tsafe, t[1] / tsafe)
+        safe = jnp.where(beta == 0, jnp.ones_like(beta), beta)
+        newcol = (jnp.where(breakdown, t[0], w[0] / safe),
+                  jnp.where(breakdown, t[1], w[1] / safe))
+        v = (jax.lax.dynamic_update_slice_in_dim(
+            v[0], newcol[0][:, None], j + 1, axis=1),
+            jax.lax.dynamic_update_slice_in_dim(
+                v[1], newcol[1][:, None], j + 1, axis=1))
+        hj = (hj[0].at[j + 1, 0].set(jnp.where(breakdown, 0.0, beta)),
+              hj[1].at[j + 1, 0].set(0.0))
+        h = (jax.lax.dynamic_update_slice_in_dim(h[0], hj[0], j, axis=1),
+             jax.lax.dynamic_update_slice_in_dim(h[1], hj[1], j, axis=1))
+        return v, h
+
+    return jax.lax.fori_loop(start, m, body, (v_pair, h_pair))
+
+
+def _prefix_lock(spike_pair, conv):
+    """Krylov–Schur deflation: zero the residual spike of the LEADING run of
+    converged Ritz columns so they are locked out of the active basis (faer
+    ``partial_schur_cplx_imp`` deflates converged pairs, ``mod.rs:722``).
+    Only a prefix may lock — a later converged column behind an unconverged
+    one still rotates on the next restart."""
+    prefix = jnp.cumprod(conv.astype(jnp.int32)) != 0
+    return (jnp.where(prefix, 0.0, spike_pair[0]),
+            jnp.where(prefix, 0.0, spike_pair[1])), prefix
+
+
+def _partial_eigen_cpair_imp(op, v0_pair, k: int, m: int, *, tol: float,
+                             max_restarts: int):
+    """Krylov–Schur for a COMPLEX operator entirely over (re, im) pairs: the
+    small dense eigenproblem is the pair Schur (``evd_cpair``), the restart
+    compression is the pair QR, and converged leading Ritz columns are
+    deflated (spike zeroed).  Runs on the complex-free TPU runtime."""
+    from faer_tpu.core.cpair import cmul, padjoint, pmatmul
+    from faer_tpu.linalg.evd_cpair import evd_cpair
+    from faer_tpu.linalg.factor_cpair import qr_apply_q_pair, qr_in_place_pair
+
+    n = op.shape[0]
+    rdt = v0_pair[0].dtype
+    p = min(max(2 * k, k + 2), m - 1)
+
+    rn = jnp.sqrt(jnp.sum(v0_pair[0] ** 2 + v0_pair[1] ** 2))
+    rn = jnp.where(rn == 0, jnp.ones_like(rn), rn)
+    v = (jnp.zeros((n, m + 1), rdt).at[:, 0].set(v0_pair[0] / rn),
+         jnp.zeros((n, m + 1), rdt).at[:, 0].set(v0_pair[1] / rn))
+    h = (jnp.zeros((m + 1, m), rdt), jnp.zeros((m + 1, m), rdt))
+    v, h = _arnoldi_extend_cpair(op, v, h, 0, m)
+
+    def ritz(v, h):
+        (wr, wi), (yr, yi), _ = evd_cpair(h[0][:m, :m], h[1][:m, :m])
+        absw = jnp.sqrt(wr * wr + wi * wi)
+        order = jnp.argsort(-absw)
+        wr, wi = wr[order], wi[order]
+        yr, yi = yr[:, order], yi[:, order]
+        beta = jnp.sqrt(h[0][m, m - 1] ** 2 + h[1][m, m - 1] ** 2)
+        res = beta * jnp.sqrt(yr[m - 1, :] ** 2 + yi[m - 1, :] ** 2)
+        return (wr, wi), (yr, yi), res
+
+    def converged_mask(w, res):
+        scale = jnp.maximum(jnp.sqrt(w[0] ** 2 + w[1] ** 2),
+                            jnp.asarray(1.0, rdt))
+        return res <= tol * scale
+
+    def cond(state):
+        v, h, it, done = state
+        return (~done) & (it < max_restarts)
+
+    def body(state):
+        v, h, it, done = state
+        w, y, res = ritz(v, h)
+        packed, ts, blk = qr_in_place_pair(y[0][:, :p], y[1][:, :p])
+        eye = (jnp.eye(m, p, dtype=rdt), jnp.zeros((m, p), rdt))
+        q = qr_apply_q_pair(packed, ts, blk, eye, adjoint=False)   # (m, p)
+        vnew_p = pmatmul((v[0][:, :m], v[1][:, :m]), q)
+        vnew = (jnp.zeros_like(v[0]).at[:, :p].set(vnew_p[0])
+                .at[:, p].set(v[0][:, m]),
+                jnp.zeros_like(v[1]).at[:, :p].set(vnew_p[1])
+                .at[:, p].set(v[1][:, m]))
+        hcomp = pmatmul(pmatmul(padjoint(q), (h[0][:m, :m], h[1][:m, :m])), q)
+        beta = (h[0][m, m - 1], h[1][m, m - 1])
+        spike = cmul((jnp.broadcast_to(beta[0], (p,)),
+                      jnp.broadcast_to(beta[1], (p,))),
+                     (q[0][m - 1, :], q[1][m - 1, :]))
+        # deflate converged leading Ritz columns out of the active basis
+        spike, _ = _prefix_lock(spike, converged_mask(w, res)[:p])
+        hnew = (jnp.zeros_like(h[0]).at[:p, :p].set(hcomp[0])
+                .at[p, :p].set(spike[0]),
+                jnp.zeros_like(h[1]).at[:p, :p].set(hcomp[1])
+                .at[p, :p].set(spike[1]))
+        v2, h2 = _arnoldi_extend_cpair(op, vnew, hnew, p, m)
+        w2, y2, res2 = ritz(v2, h2)
+        done2 = jnp.all(converged_mask((w2[0][:k], w2[1][:k]), res2[:k]))
+        return v2, h2, it + 1, done2
+
+    w0, y0, res0 = ritz(v, h)
+    done0 = jnp.all(converged_mask((w0[0][:k], w0[1][:k]), res0[:k]))
+    state = (v, h, jnp.zeros((), jnp.int32), done0)
+    v, h, it, done = jax.lax.while_loop(cond, body, state)
+
+    w, y, res = ritz(v, h)
+    from faer_tpu.core.cpair import pmatmul as _pm
+
+    vecs = _pm((v[0][:, :m], v[1][:, :m]), (y[0][:, :k], y[1][:, :k]))
+    norms = jnp.sqrt(jnp.sum(vecs[0] ** 2 + vecs[1] ** 2, axis=0))
+    norms = jnp.where(norms == 0, jnp.ones_like(norms), norms)
+    vecs = (vecs[0] / norms[None, :], vecs[1] / norms[None, :])
+    n_conv = jnp.sum(converged_mask((w[0][:k], w[1][:k]), res[:k]))
+    info = PartialEigenInfo(n_converged=n_conv, iterations=it)
+    return (w[0][:k], w[1][:k]), vecs, info
+
+
+def partial_eigen_cpair(a, k: int, *, v0=None, m: int | None = None,
+                        tol: float | None = None, max_restarts: int = 1000):
+    """Largest-magnitude k eigenpairs of a COMPLEX operator as (re, im)
+    pairs — the TPU-native complex matrix-free eigensolver (faer
+    ``partial_schur_cplx_imp``, ``operator/eigen/mod.rs:722``).
+
+    ``a``: a ``(re, im)`` pair of dense arrays, a complex dense array, or a
+    pair LinOp.  Returns ``((wr, wi), (vr, vi), info)``.
+    """
+    from faer_tpu.matrix_free.operator import aslinop_pair
+
+    op = aslinop_pair(a)
+    n = op.shape[0]
+    m = m or min(max(4 * k, k + 8), n)
+    if v0 is None:
+        probe = (jnp.ones((n, 1)), jnp.zeros((n, 1)))
+        rdt = op.apply(probe)[0].dtype
+        v0p = (jnp.linspace(1.0, 2.0, n).astype(rdt),
+               jnp.zeros((n,), rdt))
+    elif isinstance(v0, tuple):
+        v0p = v0
+    else:
+        rdt = dtypes.real_dtype_of(v0.dtype)
+        v0p = (jnp.real(v0).astype(rdt), jnp.imag(v0).astype(rdt))
+    tol = tol if tol is not None else 128 * dtypes.eps(v0p[0].dtype)
+    return _partial_eigen_cpair_imp(op, v0p, k, m, tol=tol,
+                                    max_restarts=max_restarts)
+
+
 def partial_eigen(a, k: int, *, v0=None, m: int | None = None,
                   tol: float | None = None, max_restarts: int = 1000):
     """Largest-magnitude k eigenpairs of a general LinOp (complex output).
 
     faer ``partial_eigen`` (``operator/eigen/mod.rs:1271``).  Real operators
-    run the TPU-native real Krylov–Schur (``partial_eigen_pair``) and the
-    output is combined to complex on the host when the data lives on TPU;
-    complex operators/starts use the uniform complex path.
+    run the TPU-native real Krylov–Schur (``partial_eigen_pair``); complex
+    operators run the split-pair complex Krylov–Schur
+    (``partial_eigen_cpair``) — in both cases the output is combined to
+    complex at the boundary.
     """
     op = aslinop(a)
     n = op.shape[0]
     m = m or min(max(4 * k, k + 8), n)
     probe = jnp.ones((n, 1))
     base_dtype = op.apply(probe).dtype if v0 is None else v0.dtype
-    if not dtypes.is_complex(base_dtype):
-        from faer_tpu.linalg.evd import _combine_pair
+    from faer_tpu.linalg.evd import _combine_pair
 
+    if not dtypes.is_complex(base_dtype):
         (wr, wi), (vr, vi), info = partial_eigen_pair(
             a, k, v0=v0, m=m, tol=tol, max_restarts=max_restarts)
         return _combine_pair(wr, wi), _combine_pair(vr, vi), info
-    cdt = dtypes.complex_dtype_of(base_dtype)
-    cop = _ComplexWrap(op, cdt)
-    tol = tol if tol is not None else 128 * dtypes.eps(base_dtype)
-    if v0 is None:
-        v0 = jnp.linspace(1.0, 2.0, n).astype(cdt)
-    else:
-        v0 = v0.astype(cdt)
-    return _partial_eigen_imp(cop, v0, k, m, hermitian=False,
-                              tol=tol, max_restarts=max_restarts)
+    (wr, wi), (vr, vi), info = partial_eigen_cpair(
+        a, k, v0=v0, m=m, tol=tol, max_restarts=max_restarts)
+    return _combine_pair(wr, wi), _combine_pair(vr, vi), info
 
 
 def partial_svd(a, k: int, *, v0=None, m: int | None = None,

@@ -86,6 +86,66 @@ class IdentityPrecond:
         return x
 
 
+class PairDenseLinOp:
+    """Complex dense operator over (re, im) pairs — the TPU-native twin of
+    ``DenseLinOp`` for complex matrices (no complex dtype touches the chip;
+    apply is the 3-GEMM Karatsuba pair product)."""
+
+    def __init__(self, ar, ai):
+        self.ar = jnp.asarray(ar)
+        self.ai = jnp.asarray(ai)
+        self.shape = tuple(self.ar.shape)
+
+    def apply(self, x_pair):
+        from faer_tpu.core.cpair import pmatmul
+
+        return pmatmul((self.ar, self.ai), x_pair)
+
+    def adjoint_apply(self, x_pair):
+        from faer_tpu.core.cpair import padjoint, pmatmul
+
+        return pmatmul(padjoint((self.ar, self.ai)), x_pair)
+
+
+class _PairFromComplexOp:
+    """Run an arbitrary complex LinOp under the pair runtime: the operator
+    application itself uses the native complex dtype (host fallback), but all
+    Krylov machinery around it stays in (re, im) pairs."""
+
+    def __init__(self, op):
+        self.op = op
+        self.shape = op.shape
+
+    def apply(self, x_pair):
+        xr, xi = x_pair
+        y = self.op.apply((xr + 1j * xi).astype(jnp.complex64)
+                          if xr.dtype == jnp.float32
+                          else xr + 1j * xi)
+        return jnp.real(y).astype(xr.dtype), jnp.imag(y).astype(xr.dtype)
+
+
+def aslinop_pair(a):
+    """Coerce to a pair LinOp: a ``(re, im)`` tuple of dense arrays, a complex
+    dense array, an object already applying pairs, or any complex LinOp
+    (wrapped so only the raw apply uses the complex dtype)."""
+    if isinstance(a, (PairDenseLinOp, _PairFromComplexOp)):
+        return a
+    if isinstance(a, tuple) and len(a) == 2:
+        return PairDenseLinOp(a[0], a[1])
+    arr = None
+    if hasattr(a, "a"):
+        arr = jnp.asarray(a.a)
+    elif not (hasattr(a, "apply") and hasattr(a, "shape")):
+        arr = jnp.asarray(a)
+    if arr is not None:
+        if jnp.iscomplexobj(arr):
+            return PairDenseLinOp(jnp.real(arr), jnp.imag(arr))
+        return PairDenseLinOp(arr, jnp.zeros_like(arr))
+    if getattr(a, "is_pair_op", False):
+        return a
+    return _PairFromComplexOp(aslinop(a))
+
+
 def aslinop(a) -> LinOp:
     if isinstance(a, (DenseLinOp, DiagLinOp, FnLinOp)):
         return a

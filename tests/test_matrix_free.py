@@ -134,3 +134,65 @@ def test_partial_svd_no_condition_squaring():
     res = np.abs(np.asarray(a, np.float64) @ np.asarray(v, np.float64)
                  - np.asarray(u, np.float64) * s[None, :]).max()
     assert res < 5e-5, res
+
+
+def test_partial_eigen_cpair_complex_path():
+    # split-pair complex Krylov-Schur (faer partial_schur_cplx_imp): the
+    # whole restart loop runs over (re, im) pairs on the TPU runtime
+    from faer_tpu.matrix_free.eigen import partial_eigen_cpair
+
+    n, k = 60, 3
+    rng = np.random.default_rng(60)
+    an = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    (wr, wi), (vr, vi), info = partial_eigen_cpair(
+        (jnp.asarray(an.real, jnp.float64), jnp.asarray(an.imag, jnp.float64)),
+        k)
+    assert int(info.n_converged) == k
+    w = np.asarray(wr, np.float64) + 1j * np.asarray(wi, np.float64)
+    v = np.asarray(vr, np.float64) + 1j * np.asarray(vi, np.float64)
+    wref = np.linalg.eigvals(an)
+    top = wref[np.argsort(-np.abs(wref))][:k]
+    assert np.abs(np.sort_complex(w) - np.sort_complex(top)).max() < 1e-7 * np.abs(
+        top).max()
+    assert np.linalg.norm(an @ v - v * w[None, :]) < 1e-7 * np.linalg.norm(an)
+
+    # the public front door routes complex dense input through the pair path
+    wc, vc, info2 = mf.partial_eigen(jnp.asarray(an), k)
+    assert np.abs(np.sort_complex(np.asarray(wc)) - np.sort_complex(top)
+                  ).max() < 1e-7 * np.abs(top).max()
+
+
+def test_krylov_schur_locking_deflates_converged_prefix():
+    # converged leading Ritz columns get their residual spike zeroed (locked
+    # out of the active basis); a converged column BEHIND an unconverged one
+    # must not lock
+    from faer_tpu.matrix_free.eigen import _prefix_lock
+
+    spike = (jnp.asarray([1.0, 2.0, 3.0, 4.0]),
+             jnp.asarray([-1.0, -2.0, -3.0, -4.0]))
+    conv = jnp.asarray([True, True, False, True])
+    (sr, si), prefix = _prefix_lock(spike, conv)
+    np.testing.assert_array_equal(np.asarray(prefix), [True, True, False, False])
+    np.testing.assert_array_equal(np.asarray(sr), [0.0, 0.0, 3.0, 4.0])
+    np.testing.assert_array_equal(np.asarray(si), [0.0, 0.0, -3.0, -4.0])
+
+
+def test_krylov_schur_locked_pairs_stay_converged():
+    # once the top-k eigenpairs converge, extra restarts with locking keep
+    # them converged and accurate (deflation does not let them drift)
+    from faer_tpu.matrix_free.eigen import partial_eigen_cpair
+
+    n, k = 48, 2
+    rng = np.random.default_rng(7)
+    # well-separated dominant eigenvalues -> fast convergence of the top pair
+    d = np.diag(np.concatenate([[9.0, 7.0], rng.uniform(0.1, 1.0, n - 2)])
+                ).astype(np.complex128)
+    q, _ = np.linalg.qr(rng.standard_normal((n, n))
+                        + 1j * rng.standard_normal((n, n)))
+    an = q @ d @ q.conj().T
+    (wr, wi), (vr, vi), info = partial_eigen_cpair(
+        (jnp.asarray(an.real, jnp.float64), jnp.asarray(an.imag, jnp.float64)),
+        k, max_restarts=200)
+    assert int(info.n_converged) == k
+    w = np.sort(np.asarray(wr, np.float64) + 1j * np.asarray(wi, np.float64))
+    assert np.abs(np.sort(w.real) - np.array([7.0, 9.0])).max() < 1e-8
