@@ -16,7 +16,8 @@ window steps over a VMEM-resident band strip with the real dataflow —
 ``g`` independent windows per step model multi-bulge batching (chasing ``g``
 sweeps' bulges in one pass amortizes band HBM traffic and fills the VPU);
 their updates are unrolled so Mosaic can overlap them — per-step latency is
-the measurement of interest, reported by ``tools/r4chase.py``.
+the measurement of interest, reported by ``tools/r5chase.py`` (results in
+BENCH_NOTES "Round 5").
 
 Reference: faer's one-stage ``tridiag.rs:274`` is the production path; the
 two-stage structure follows Bischof-Lang-Sun SBR (band → tridiagonal chase).
