@@ -251,11 +251,11 @@ def _panel_qr_blocked_classic(panel, base: int):
         from faer_tpu.core.config import panel_kernels_enabled
 
         if panel_kernels_enabled(panel.dtype) and not _dt.is_complex(panel.dtype):
-            # v4: v3's unrolled structure + reflector-row scratch written at
-            # step time and static-slice α reads — see ops/pallas/leaf_v4.py
-            from faer_tpu.ops.pallas.leaf_v4 import qr_panel_v4_pallas
+            # v5: v4's reflector-scratch structure + bf16x3 deferred coupling
+            # dots at sb=16 — see ops/pallas/qr_panel_v5.py (tools/r5qr.py)
+            from faer_tpu.ops.pallas.qr_panel_v5 import qr_panel_v5_pallas
 
-            return qr_panel_v4_pallas(panel)
+            return qr_panel_v5_pallas(panel)
         return _panel_qr(panel)
     h = (b + 1) // 2
     left, taus1 = _panel_qr_blocked_classic(panel[:, :h], base)

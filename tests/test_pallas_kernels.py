@@ -189,3 +189,71 @@ def test_syrk_lower_sub_interpret(m, k, monkeypatch):
     assert_approx_eq(np.tril(got), np.tril(want),
                      scale=size_scale(k) * 8, tol_dtype=jnp.float32)
     sk._syrk_padded.clear_cache()
+
+
+def test_lu_panel_v5_interpret(monkeypatch):
+    # v5 = v4 virtual-pivot structure + bf16x3 coupling dots (+ optional
+    # windowed extraction); both win variants share the kernel body
+    import faer_tpu.ops.pallas.lu_panel_v5 as lpv5
+
+    _interp(monkeypatch, lpv5)
+    lpv5.lu_panel_v5_pallas._clear_cache()
+    m, b = 160, 32
+    rng = np.random.default_rng(1)
+    p = jnp.asarray(rng.standard_normal((m, b)), jnp.float32)
+    for win in (True, False):
+        packed, perm, nt, ok = lpv5.lu_panel_v5_pallas(p, sb=16, win=win)
+        assert bool(ok)
+        pn = np.asarray(packed, np.float64)
+        l = np.tril(pn, -1)[:, :b] + np.eye(m, b)
+        u = np.triu(pn)[:b]
+        ref = np.asarray(p, np.float64)[np.asarray(perm)]
+        assert np.linalg.norm(l @ u - ref) <= 2e-3 * max(
+            1.0, np.linalg.norm(ref)), win
+        assert np.abs(np.tril(pn, -1)).max() <= 1.0 + 1e-6
+    lpv5.lu_panel_v5_pallas._clear_cache()
+
+
+def test_qr_panel_v5_interpret(monkeypatch):
+    import faer_tpu.ops.pallas.qr_panel_v5 as qpv5
+
+    _interp(monkeypatch, qpv5)
+    qpv5.qr_panel_v5_pallas._clear_cache()
+    m, b = 160, 32
+    rng = np.random.default_rng(2)
+    p = jnp.asarray(rng.standard_normal((m, b)), jnp.float32)
+    packed, taus = qpv5.qr_panel_v5_pallas(p, sb=16)
+    pn = np.asarray(packed, np.float64)
+    tn = np.asarray(taus, np.float64)
+    v = np.tril(pn, -1)[:, :b] + np.eye(m, b)
+    r = np.triu(pn[:b])
+    q = np.eye(m)
+    for j in range(b - 1, -1, -1):
+        vj = v[:, j]
+        q = q - tn[j] * np.outer(vj, vj @ q)
+    resid = np.abs(q @ np.vstack([r, np.zeros((m - b, b))])
+                   - np.asarray(p, np.float64)).max()
+    assert resid < 2e-4
+    # Q orthonormal
+    assert np.abs(q.T @ q - np.eye(m)).max() < 1e-5
+    qpv5.qr_panel_v5_pallas._clear_cache()
+
+
+def test_llt_panel_v5_interpret(monkeypatch):
+    import faer_tpu.ops.pallas.llt_panel_v5 as lltv5
+
+    _interp(monkeypatch, lltv5)
+    lltv5.llt_panel_v5_pallas._clear_cache()
+    m, b = 160, 32
+    rng = np.random.default_rng(3)
+    g = rng.standard_normal((m, m))
+    spd = (g @ g.T / m + 2 * np.eye(m)).astype(np.float32)
+    slab = jnp.asarray(spd[:, :b])
+    strip, cnt, ok = lltv5.llt_panel_v5_pallas(slab, sb=16)
+    assert bool(ok)
+    l11 = np.asarray(strip[:b], np.float64)
+    l21 = np.asarray(strip[b:], np.float64)
+    a11 = np.asarray(spd[:b, :b], np.float64)
+    assert np.abs(l11 @ l11.T - a11).max() < 1e-4 * np.abs(a11).max()
+    assert np.abs(l21 @ l11.T - spd[b:, :b]).max() < 1e-3 * np.abs(spd).max()
+    lltv5.llt_panel_v5_pallas._clear_cache()
