@@ -119,6 +119,7 @@ def main() -> None:
         log(f"{name:4s} {n}: {best[name]*1e3:7.1f} ms  {results[name]/1e9:8.0f} GFLOP/s")
 
     geomean = math.exp(sum(math.log(v) for v in results.values()) / len(results))
+    spectral = _spectral_detail()
     out = {
         "metric": f"{n}^2 f32 LLT/LU/QR factor geomean throughput (single TPU chip)",
         "value": round(geomean / 1e9, 1),
@@ -133,7 +134,40 @@ def main() -> None:
             "backend": backend,
         },
     }
+    out["detail"].update(spectral)
     print(json.dumps(out), flush=True)
+
+
+def _spectral_detail() -> dict:
+    """4096² EVD/SVD + tall-skinny lstsq walls for the JSON detail.
+
+    Runs ``tools/bench_spectral.py`` in a subprocess with a hard timeout so a
+    cold-cache compile through the remote tunnel can never hang the headline
+    bench; on timeout or failure the detail keys are simply absent.
+    Disable with FAER_TPU_BENCH_SPECTRAL=0.
+    """
+    if os.environ.get("FAER_TPU_BENCH_SPECTRAL", "1") == "0":
+        return {}
+    import subprocess
+
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "bench_spectral.py")
+    budget = float(os.environ.get("FAER_TPU_BENCH_SPECTRAL_TIMEOUT", "900"))
+    try:
+        p = subprocess.run([sys.executable, tool, "spectral", "--json"],
+                           capture_output=True, text=True, timeout=budget)
+    except subprocess.TimeoutExpired:
+        log("spectral detail: timed out (cold compile?); skipping")
+        return {}
+    log(p.stdout.strip())
+    for line in p.stdout.splitlines():
+        if line.startswith("JSON:"):
+            try:
+                return json.loads(line[5:])
+            except json.JSONDecodeError:
+                break
+    log(f"spectral detail: no JSON line (rc={p.returncode}); skipping")
+    return {}
 
 
 if __name__ == "__main__":

@@ -9,5 +9,5 @@ __all__ = [
     "cholesky", "lu", "qr", "solvers", "svd", "evd", "gevd", "qz", "batched",
     "bidiag", "bidiag_svd", "bidiag_dnc", "tridiag", "tridiag_evd",
     "tridiag_dnc", "real_schur", "eigvec", "evd_cpair", "qz_cpair",
-    "qz_real", "factor_cpair", "factor_dd", "schur_multishift",
+    "qz_real", "factor_cpair", "factor_dd", "factor_ddc", "schur_multishift",
 ]

@@ -76,7 +76,7 @@ def _neumann_unit_inv(r, nb: int):
 
 
 def _lu_v5_kernel(pt_in, pt_ref, pidx_ref, ok_ref, m_ref, s_ref, *,
-                  bp, mp, kmax, mvalid, sb, rch, win):
+                  bp, mp, kmax, mvalid, sb, rch, win, maxmin):
     """Transposed (bp, mp) panel; lanes = original rows; virtual pivoting."""
     pt_ref[:] = pt_in[:]
     lanes1 = jax.lax.broadcasted_iota(jnp.int32, (1, mp), 1)
@@ -95,7 +95,14 @@ def _lu_v5_kernel(pt_in, pt_ref, pidx_ref, ok_ref, m_ref, s_ref, *,
             r = sb0 + jl
             colj = pt_ref[r:r + 1, :]                      # (1, m)
             mag = jnp.where(used != 0, -1.0, jnp.abs(colj))
-            p = jax.lax.argmax(mag[0], 0, jnp.int32)
+            if maxmin:
+                # plain max reduce + first-match min-index: two simple
+                # reduces can beat argmax's index-reduce lowering
+                mv = jnp.max(mag)
+                p = jnp.min(jnp.where(mag[0] == mv, lanes1[0],
+                                      jnp.int32(mp)))
+            else:
+                p = jax.lax.argmax(mag[0], 0, jnp.int32)
             onehot = (lanes1 == p).astype(jnp.float32)
             if win:
                 # 128-aligned dynamic lane window around the pivot: the
@@ -146,9 +153,9 @@ def _round_up(x: int, q: int) -> int:
     return ((x + q - 1) // q) * q
 
 
-@functools.partial(jax.jit, static_argnames=("sb", "rch", "win"))
+@functools.partial(jax.jit, static_argnames=("sb", "rch", "win", "maxmin"))
 def lu_panel_v5_pallas(panel, *, sb: int = 16, rch: int = 128,
-                       win: bool = True):
+                       win: bool = True, maxmin: bool = False):
     """Partially-pivoted LU of an (m, b) f32 panel — v5 kernel.
 
     Same return contract as ``lu_panel_v4_pallas``: ``(packed, perm, nt,
@@ -162,7 +169,8 @@ def lu_panel_v5_pallas(panel, *, sb: int = 16, rch: int = 128,
     if (bp, mp) != (b, m):
         pt = jnp.pad(pt, ((0, bp - b), (0, mp - m)))
     kernel = functools.partial(_lu_v5_kernel, bp=bp, mp=mp, kmax=kmax,
-                               mvalid=m, sb=sb, rch=rch, win=win)
+                               mvalid=m, sb=sb, rch=rch, win=win,
+                               maxmin=maxmin)
     pt_out, pidx, okf = pl.pallas_call(
         kernel,
         out_shape=(

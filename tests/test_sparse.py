@@ -501,3 +501,50 @@ def test_sparse_llt_ldlt_device_method(rng):
     f4 = ssol.Ldlt.try_new_with_symbolic(sym, lower, method="device")
     np.testing.assert_allclose(a @ f3.solve(b), b, atol=1e-8)
     np.testing.assert_allclose(a @ f4.solve(b), b, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_sparse_llt_device_parity_at_scale():
+    # VERDICT r4 #10: exercise the batched scatter plans on a multi-level,
+    # multi-class schedule and compare device NUMERIC VALUES (not just solve
+    # residual) against the host path at n ~ 10k
+    side = 100
+    n = side * side
+    idx = np.arange(n).reshape(side, side)
+    rows = [np.arange(n)]
+    cols = [np.arange(n)]
+    vals = [np.full(n, 4.0)]
+    for a_, b_ in ((idx[:-1, :].ravel(), idx[1:, :].ravel()),
+                   (idx[:, :-1].ravel(), idx[:, 1:].ravel())):
+        lo, hi = np.minimum(a_, b_), np.maximum(a_, b_)
+        rows.append(hi)
+        cols.append(lo)
+        vals.append(np.full(lo.size, -1.0))
+    a = SparseCscMat.from_triplets(n, n, np.concatenate(rows),
+                                   np.concatenate(cols), np.concatenate(vals))
+
+    from faer_tpu.sparse import cholesky as sch
+    from faer_tpu.sparse import supernodal as _sn
+    from faer_tpu.sparse.batched_frontal import factorize_frontal_llt, plan_frontal
+
+    symb = sch.factorize_symbolic_cholesky(a.symbolic)
+    ssym = _sn.detect_supernodes(symb)
+    plan = plan_frontal(ssym, a.symbolic)
+    assert plan.n_levels > 3 and len(plan.groups) > plan.n_levels, (
+        "test must cover a multi-level, multi-class schedule")
+    ld = factorize_frontal_llt(plan, a)
+    lh = sch.factorize_numeric_llt(symb, a)
+    scale = np.abs(np.asarray(lh.values)).max()
+    dv = np.abs(np.asarray(ld.values) - np.asarray(lh.values)).max() / scale
+    assert dv < 1e-10, f"device vs host numeric values diverge: {dv}"
+
+    b = np.linspace(1.0, 2.0, n)
+    f = ssol.Llt.try_new_with_symbolic(ssol.SymbolicLlt(symb), a,
+                                       method="device")
+    x = f.solve(b)
+    import scipy.sparse as sp
+
+    asp = sp.csc_matrix((np.asarray(a.values), np.asarray(a.symbolic.row_idx),
+                         np.asarray(a.symbolic.col_ptr)), shape=(n, n))
+    afull = asp + sp.tril(asp, -1).T
+    assert np.linalg.norm(afull @ x - b) / np.linalg.norm(b) < 1e-10

@@ -36,10 +36,13 @@ def main():
     from faer_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
-    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    args = [a for a in sys.argv[1:] if a != "--json"]
+    as_json = "--json" in sys.argv[1:]
+    which = args[0] if args else "all"
+    out_json = {}
     key = jax.random.key(0)
 
-    if which in ("evd", "all"):
+    if which in ("evd", "all", "spectral"):
         n = 4096
         g = jax.random.normal(key, (n, n), jnp.float32)
         a = (g + g.T) / 2
@@ -53,8 +56,10 @@ def main():
         orth = np.abs(vn.T @ vn - np.eye(n)).max()
         print(f"evd  {n}: {t*1e3:9.1f} ms   resid {res:.2e}  orth {orth:.2e}",
               flush=True)
+        out_json["evd_4096_ms"] = round(t * 1e3, 1)
+        out_json["evd_4096_resid"] = float(f"{res:.2e}")
 
-    if which in ("svd", "all"):
+    if which in ("svd", "all", "spectral"):
         n = 4096
         g = jax.random.normal(jax.random.key(1), (n, n), jnp.float32)
         from faer_tpu.linalg.svd import svd
@@ -68,6 +73,8 @@ def main():
         orth = np.abs(un.T @ un - np.eye(n)).max()
         print(f"svd  {n}: {t*1e3:9.1f} ms   rec {rec:.2e}  orthU {orth:.2e}",
               flush=True)
+        out_json["svd_4096_ms"] = round(t * 1e3, 1)
+        out_json["svd_4096_rec"] = float(f"{rec:.2e}")
 
     if which in ("llt64", "all"):
         # BASELINE config: f64 SPD 1024 LLT factor + solve (f64 on TPU is
@@ -90,7 +97,7 @@ def main():
         print(f"llt+solve f64 {n}: {t*1e3:9.1f} ms   residual {res:.2e}",
               flush=True)
 
-    if which in ("lstsq", "all"):
+    if which in ("lstsq", "all", "spectral"):
         m, n = 8192, 2048
         g = jax.random.normal(jax.random.key(2), (m, n), jnp.float32)
         b = jax.random.normal(jax.random.key(3), (m, 4), jnp.float32)
@@ -107,6 +114,12 @@ def main():
         res = np.linalg.norm(gn.T @ (gn @ xn - np.asarray(b, np.float64)))
         print(f"lstsq {m}x{n}: {t*1e3:9.1f} ms   {flops/t/1e12:6.2f} TFLOP/s   "
               f"normal-eq resid {res:.2e}", flush=True)
+        out_json["lstsq_8192x2048_ms"] = round(t * 1e3, 1)
+
+    if as_json:
+        import json
+
+        print("JSON:" + json.dumps(out_json), flush=True)
 
 
 if __name__ == "__main__":

@@ -45,7 +45,7 @@ def grid_laplacian(side: int):
     r = np.concatenate(rows)
     c = np.concatenate(cols)
     v = np.concatenate(vals)
-    return SparseCscMat.from_triplets(n, n, c, r, v)
+    return SparseCscMat.from_triplets(n, n, r, c, v)
 
 
 def main():
